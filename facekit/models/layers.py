@@ -1,0 +1,162 @@
+"""Pure-functional NN layers (NHWC) used by the facekit model zoo.
+
+Params are plain nested dicts/lists of jnp arrays (a valid pytree), produced
+either by random init (tests/bench) or by converting a PyTorch state_dict
+(facekit.weights.convert). Conventions:
+
+  * conv weights are HWIO (converted from torch OIHW);
+  * batch-norm is inference-only and keeps the torch parametrization
+    (scale, bias, mean, var, eps=1e-5) so converted checkpoints match
+    bit-for-bit; XLA folds the affine into the conv at compile time;
+  * compute dtype is configurable (bf16 on TPU), accumulation is f32 via
+    ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# initializers (match torch defaults so random-weight parity tests line up)
+# ---------------------------------------------------------------------------
+
+def xavier_uniform(key, shape_oihw: Tuple[int, ...], dtype=jnp.float32):
+    """torch.nn.init.xavier_uniform_ on an OIHW conv weight, returned HWIO."""
+    o, i, kh, kw = shape_oihw
+    fan_in, fan_out = i * kh * kw, o * kh * kw
+    a = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    w = jax.random.uniform(key, (o, i, kh, kw), dtype, -a, a)
+    return jnp.transpose(w, (2, 3, 1, 0))
+
+
+def kaiming_uniform_conv(key, shape_oihw, dtype=jnp.float32):
+    """torch Conv2d default init (kaiming_uniform a=sqrt(5)), HWIO output."""
+    o, i, kh, kw = shape_oihw
+    fan_in = i * kh * kw
+    bound = float(1.0 / np.sqrt(fan_in)) * float(np.sqrt(3.0)) * float(np.sqrt(2.0 / (1 + 5)))
+    w = jax.random.uniform(key, (o, i, kh, kw), dtype, -bound, bound)
+    return jnp.transpose(w, (2, 3, 1, 0))
+
+
+def bn_init(channels: int) -> Dict[str, jnp.ndarray]:
+    return {
+        "scale": jnp.ones((channels,), jnp.float32),
+        "bias": jnp.zeros((channels,), jnp.float32),
+        "mean": jnp.zeros((channels,), jnp.float32),
+        "var": jnp.ones((channels,), jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# layer applications
+# ---------------------------------------------------------------------------
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0,
+           groups: int = 1, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """NHWC conv with HWIO weights, torch-compatible symmetric padding."""
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def batch_norm(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
+               eps: float = BN_EPS) -> jnp.ndarray:
+    """Inference batch-norm over the last axis (channels)."""
+    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
+    scale = (p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
+    shift = (p["bias"].astype(jnp.float32)
+             - p["mean"].astype(jnp.float32) * p["scale"].astype(jnp.float32) * inv
+             ).astype(x.dtype)
+    return x * scale + shift
+
+
+def prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel PReLU over the last axis."""
+    a = alpha.astype(x.dtype)
+    return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0)
+
+
+def leaky_relu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """w is (out, in) torch layout."""
+    out = jnp.dot(x, w.T.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (out + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def strided_identity(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=1, stride=s): pure subsampling."""
+    if stride == 1:
+        return x
+    return x[:, ::stride, ::stride, :]
+
+
+def nearest_resize_to(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') to an explicit size (NHWC)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    rows = (np.arange(oh) * h) // oh
+    cols = (np.arange(ow) * w) // ow
+    return x[:, rows][:, :, cols]
+
+
+# conv+bn compound units ----------------------------------------------------
+
+def conv_bn_apply(x, p, stride=1, padding=1, act: str = "relu",
+                  leaky_slope: float = 0.0, groups: int = 1):
+    """conv -> BN -> (relu | leaky | none), the reference's conv_bn family
+    (``conversion/retina/models/net.py:9-38``)."""
+    x = conv2d(x, p["conv"], stride=stride, padding=padding, groups=groups)
+    x = batch_norm(x, p["bn"])
+    if act == "relu":
+        x = relu(x)
+    elif act == "leaky":
+        x = leaky_relu(x, leaky_slope)
+    return x
+
+
+def conv_bn_init(key, cin, cout, ksize=3, init="kaiming"):
+    fn = xavier_uniform if init == "xavier" else kaiming_uniform_conv
+    return {"conv": fn(key, (cout, cin, ksize, ksize)), "bn": bn_init(cout)}
+
+
+def conv_dw_apply(x, p, stride):
+    """Depthwise-separable block: dw3x3+BN+ReLU then pw1x1+BN+ReLU
+    (``conversion/retina/models/net.py:29-38``)."""
+    c = x.shape[-1]
+    x = conv2d(x, p["dw_conv"], stride=stride, padding=1, groups=c)
+    x = relu(batch_norm(x, p["dw_bn"]))
+    x = conv2d(x, p["pw_conv"], stride=1, padding=0)
+    x = relu(batch_norm(x, p["pw_bn"]))
+    return x
+
+
+def conv_dw_init(key, cin, cout):
+    k1, k2 = jax.random.split(key)
+    return {
+        "dw_conv": kaiming_uniform_conv(k1, (cin, 1, 3, 3)),
+        "dw_bn": bn_init(cin),
+        "pw_conv": kaiming_uniform_conv(k2, (cout, cin, 1, 1)),
+        "pw_bn": bn_init(cout),
+    }

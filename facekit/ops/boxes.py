@@ -1,0 +1,200 @@
+"""Box decode, letterbox un-mapping, and masked in-graph NMS.
+
+TPU-native replacement for the reference's scalar post-processing loop
+(``src/retinaface.cpp:154-271``): instead of a dynamic ``vector<Bbox>`` with
+erase-based greedy NMS on the host, everything here is fixed-shape and
+vectorized — decode all anchors at once, threshold by masking scores to
+-inf, run greedy NMS as a fixed-trip-count ``fori_loop`` over the top-K
+candidates, and return exactly ``max_faces`` slots with a validity mask. No
+recompiles, no host round-trips.
+
+Coordinate convention: (x1, y1, x2, y2) with x horizontal (columns) and y
+vertical (rows). The reference swaps these (its Bbox.x is the row axis — see
+SURVEY.md §2 quirks); the swap never leaks through its JSON API, so we use
+the sane convention internally.
+
+Variances (0.1, 0.2) per ``conversion/retina/config.py:6`` and the decode at
+``src/retinaface.cpp:165-174``; the +1 pixel area convention in IoU matches
+``src/retinaface.cpp:248-271``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from facekit.ops.resize import letterbox_geometry
+
+VARIANCES = (0.1, 0.2)
+
+
+class Detections(NamedTuple):
+    """Fixed-shape detection results (max_faces slots + validity mask)."""
+    boxes: jnp.ndarray       # (F, 4) x1, y1, x2, y2 in frame pixels
+    scores: jnp.ndarray      # (F,)
+    valid: jnp.ndarray       # (F,) bool
+    landmarks: Optional[jnp.ndarray] = None  # (F, 5, 2) frame pixels or None
+
+
+def decode_boxes(loc: jnp.ndarray, anchors: jnp.ndarray,
+                 input_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(A, 4) regression deltas + (A, 4) anchors -> (A, 4) pixel corner boxes."""
+    h, w = input_hw
+    v0, v1 = VARIANCES
+    cx = anchors[:, 0] + loc[:, 0] * v0 * anchors[:, 2]
+    cy = anchors[:, 1] + loc[:, 1] * v0 * anchors[:, 3]
+    sx = anchors[:, 2] * jnp.exp(loc[:, 2] * v1)
+    sy = anchors[:, 3] * jnp.exp(loc[:, 3] * v1)
+    x1 = (cx - sx / 2) * w
+    y1 = (cy - sy / 2) * h
+    x2 = (cx + sx / 2) * w
+    y2 = (cy + sy / 2) * h
+    return jnp.stack([x1, y1, x2, y2], -1)
+
+
+def decode_landmarks(ldm: jnp.ndarray, anchors: jnp.ndarray,
+                     input_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(A, 10) landmark deltas -> (A, 5, 2) pixel (x, y) points.
+
+    Standard RetinaFace landmark decode (the reference repo carries the
+    landmark head in ``conversion/retina/models/retinaface.py:37-46`` but
+    strips it from the served engine; facekit restores it for 5-point
+    alignment).
+    """
+    h, w = input_hw
+    v0 = VARIANCES[0]
+    ldm = ldm.reshape(*ldm.shape[:-1], 5, 2)
+    px = anchors[:, None, 0] + ldm[..., 0] * v0 * anchors[:, None, 2]
+    py = anchors[:, None, 1] + ldm[..., 1] * v0 * anchors[:, None, 3]
+    return jnp.stack([px * w, py * h], -1)
+
+
+def unletterbox_boxes(boxes: jnp.ndarray, frame_hw: Tuple[int, int],
+                      input_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Map boxes from detector-input pixels back to frame pixels.
+
+    Uses the float pad offsets of the reference's decode
+    (``src/retinaface.cpp:177-187``), which differ sub-pixel from the integer
+    paste offsets — reproduced deliberately for parity.
+    """
+    fh, fw = frame_hw
+    th, tw = input_hw
+    scale_h, scale_w = th / fh, tw / fw
+    scale = min(scale_h, scale_w)
+    # when scale_h > scale_w: width fills the input, the vertical is padded
+    if scale_h > scale_w:
+        pad_x, pad_y = 0.0, (th - scale * fh) / 2
+    else:
+        pad_x, pad_y = (tw - scale * fw) / 2, 0.0
+    shift = jnp.asarray([pad_x, pad_y, pad_x, pad_y], dtype=boxes.dtype)
+    return (boxes - shift) / scale
+
+
+def unletterbox_points(points: jnp.ndarray, frame_hw: Tuple[int, int],
+                       input_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Same un-mapping for (..., 2) (x, y) landmark points."""
+    fh, fw = frame_hw
+    th, tw = input_hw
+    scale_h, scale_w = th / fh, tw / fw
+    scale = min(scale_h, scale_w)
+    if scale_h > scale_w:
+        pad = jnp.asarray([0.0, (th - scale * fh) / 2], dtype=points.dtype)
+    else:
+        pad = jnp.asarray([(tw - scale * fw) / 2, 0.0], dtype=points.dtype)
+    return (points - pad) / scale
+
+
+def clip_boxes(boxes: jnp.ndarray, frame_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Clip to [0, dim-1] as the reference does (src/retinaface.cpp:190-193)."""
+    fh, fw = frame_hw
+    lim = jnp.asarray([fw - 1, fh - 1, fw - 1, fh - 1], dtype=boxes.dtype)
+    return jnp.clip(boxes, 0.0, lim)
+
+
+def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU with the reference's +1 area convention."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
+    h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
+    inter = w * h
+    return inter / (area[:, None] + area[None, :] - inter)
+
+
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+        top_k: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS as a fixed-iteration masked loop.
+
+    Semantics match the reference's erase-based O(n^2) loop
+    (``src/retinaface.cpp:248-271``): process candidates in descending score
+    order; a candidate suppresses every lower-scored survivor with
+    IoU >= threshold. Candidates with score == -inf are padding.
+
+    Returns (boxes, scores, keep_mask), each of length ``top_k`` in
+    descending score order.
+    """
+    k = min(top_k, scores.shape[0])
+    top_scores, idx = jax.lax.top_k(scores, k)
+    top_boxes = boxes[idx]
+    iou = iou_matrix(top_boxes)
+    valid = top_scores > -jnp.inf
+
+    def body(i, keep):
+        # candidate i (in score order) suppresses later survivors
+        suppress = (iou[i] >= iou_threshold) & keep[i] & valid[i]
+        later = jnp.arange(k) > i
+        return keep & ~(suppress & later)
+
+    keep = jax.lax.fori_loop(0, k, body, valid)
+    return top_boxes, top_scores, keep
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_hw", "input_hw", "max_faces", "score_threshold",
+                     "iou_threshold", "nms_top_k"))
+def select_faces(loc: jnp.ndarray, conf: jnp.ndarray, anchors: jnp.ndarray,
+                 frame_hw: Tuple[int, int], input_hw: Tuple[int, int],
+                 max_faces: int = 4, score_threshold: float = 0.6,
+                 iou_threshold: float = 0.4, nms_top_k: int = 128,
+                 ldm: Optional[jnp.ndarray] = None) -> Detections:
+    """Full post-processing: threshold -> decode -> unletterbox -> clip -> NMS.
+
+    One fused fixed-shape program replacing ``postprocessing`` at
+    ``src/retinaface.cpp:154-208``. ``conf`` is the softmaxed (A, 2) output;
+    face probability is channel 1 (``src/retinaface.cpp:160``).
+    """
+    face_scores = conf[:, 1]
+    masked = jnp.where(face_scores > score_threshold, face_scores, -jnp.inf)
+
+    boxes = decode_boxes(loc, anchors, input_hw)
+    boxes = unletterbox_boxes(boxes, frame_hw, input_hw)
+    boxes = clip_boxes(boxes, frame_hw)
+
+    if ldm is not None:
+        points = decode_landmarks(ldm, anchors, input_hw)
+        points = unletterbox_points(points, frame_hw, input_hw)
+
+    top_boxes, top_scores, keep = nms(boxes, masked, iou_threshold, nms_top_k)
+    # NMS returned candidates in score order; re-select landmarks by score idx
+    kept_scores = jnp.where(keep, top_scores, -jnp.inf)
+    final_scores, sel = jax.lax.top_k(kept_scores, max_faces)
+    final_boxes = top_boxes[sel]
+    valid = final_scores > -jnp.inf
+
+    out_lm = None
+    if ldm is not None:
+        k = min(nms_top_k, masked.shape[0])
+        _, cand_idx = jax.lax.top_k(masked, k)
+        out_lm = points[cand_idx][sel]
+
+    final_scores = jnp.where(valid, final_scores, 0.0)
+    return Detections(boxes=final_boxes, scores=final_scores, valid=valid,
+                      landmarks=out_lm)

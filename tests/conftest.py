@@ -1,0 +1,38 @@
+"""Test config: force an 8-device virtual CPU mesh before jax initializes.
+
+CI needs no TPU: everything numerical runs on jax[cpu], and sharding tests
+use the 8 virtual host devices (SURVEY.md §4's test-strategy note).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The machine's sitecustomize registers the axon TPU plugin and programmatic-
+# ally forces jax_platforms='axon,cpu', overriding the env var — force CPU
+# back before any backend is touched.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference repo not mounted")
+    return REFERENCE_DIR
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

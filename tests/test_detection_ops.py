@@ -1,0 +1,150 @@
+"""Anchor generation, box decode, and NMS parity tests.
+
+Oracles are direct Python transcriptions of the reference's scalar loops
+(``src/retinaface.cpp:154-271``), written against the documented math, then
+compared with facekit's vectorized in-graph versions.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from facekit.ops import (decode_boxes, generate_anchors, iou_matrix, nms,
+                         select_faces)
+from facekit.ops.anchors import num_anchors
+from facekit.ops.boxes import clip_boxes, unletterbox_boxes
+
+
+def _anchor_oracle(w, h):
+    """Transcription of create_anchor_retinaface (src/retinaface.cpp:210-240)."""
+    steps = [8, 16, 32]
+    min_sizes = [[10, 20], [32, 64], [128, 256]]
+    out = []
+    for k, step in enumerate(steps):
+        fh, fw = math.ceil(h / step), math.ceil(w / step)
+        for i in range(fh):
+            for j in range(fw):
+                for m in min_sizes[k]:
+                    out.append([(j + 0.5) * step / w, (i + 0.5) * step / h,
+                                m / w, m / h])
+    return np.array(out, np.float32)
+
+
+def test_anchor_count_288x320():
+    # (40*36 + 20*18 + 10*9) * 2 = 3780 (src/retinaface.cpp:13)
+    assert num_anchors((288, 320)) == 3780
+
+
+@pytest.mark.parametrize("hw", [(288, 320), (640, 640), (480, 640)])
+def test_anchors_match_reference_loop(hw):
+    h, w = hw
+    ours = np.asarray(generate_anchors((h, w)))
+    ref = _anchor_oracle(w, h)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_decode_matches_reference_math(rng):
+    h, w = 288, 320
+    anchors = generate_anchors((h, w))
+    a = np.asarray(anchors)
+    loc = rng.normal(0, 0.5, size=a.shape).astype(np.float32)
+    ours = np.asarray(decode_boxes(jnp.asarray(loc), anchors, (h, w)))
+    # reference decode (src/retinaface.cpp:165-174); our x == reference's "y"
+    cx = a[:, 0] + loc[:, 0] * 0.1 * a[:, 2]
+    cy = a[:, 1] + loc[:, 1] * 0.1 * a[:, 3]
+    sx = a[:, 2] * np.exp(loc[:, 2] * 0.2)
+    sy = a[:, 3] * np.exp(loc[:, 3] * 0.2)
+    ref = np.stack([(cx - sx / 2) * w, (cy - sy / 2) * h,
+                    (cx + sx / 2) * w, (cy + sy / 2) * h], -1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_unletterbox_roundtrip():
+    # 480x640 frame -> 288x320 input: scale_w = 0.5 < scale_h = 0.6
+    frame_hw, input_hw = (480, 640), (288, 320)
+    boxes_in = jnp.asarray([[160.0, 94.0, 200.0, 144.0]])
+    out = np.asarray(unletterbox_boxes(boxes_in, frame_hw, input_hw))
+    # scale = 0.5, pad_y = (288 - 0.5*480)/2 = 24, pad_x = 0
+    np.testing.assert_allclose(
+        out, [[320.0, 140.0, 400.0, 240.0]], rtol=1e-5)
+
+
+def _nms_oracle(boxes, scores, thresh):
+    """Transcription of the erase-based greedy NMS (src/retinaface.cpp:248-271)."""
+    order = np.argsort(-scores, kind="stable")
+    boxes, scores = boxes[order].tolist(), scores[order].tolist()
+    i = 0
+    while i < len(boxes):
+        j = i + 1
+        while j < len(boxes):
+            ax1, ay1, ax2, ay2 = boxes[i]
+            bx1, by1, bx2, by2 = boxes[j]
+            area_a = (ax2 - ax1 + 1) * (ay2 - ay1 + 1)
+            area_b = (bx2 - bx1 + 1) * (by2 - by1 + 1)
+            iw = max(0.0, min(ax2, bx2) - max(ax1, bx1) + 1)
+            ih = max(0.0, min(ay2, by2) - max(ay1, by1) + 1)
+            inter = iw * ih
+            if inter / (area_a + area_b - inter) >= thresh:
+                del boxes[j], scores[j]
+            else:
+                j += 1
+        i += 1
+    return np.array(boxes, np.float32), np.array(scores, np.float32)
+
+
+def test_nms_matches_reference_greedy(rng):
+    n = 60
+    centers = rng.uniform(50, 400, size=(n, 2))
+    sizes = rng.uniform(20, 120, size=(n, 2))
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1)
+    scores = rng.uniform(0.1, 1.0, size=n).astype(np.float32)
+    boxes = boxes.astype(np.float32)
+
+    ref_boxes, ref_scores = _nms_oracle(boxes, scores, 0.4)
+    top_boxes, top_scores, keep = nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.4, top_k=n)
+    kept = np.asarray(keep)
+    ours_boxes = np.asarray(top_boxes)[kept]
+    ours_scores = np.asarray(top_scores)[kept]
+    assert len(ours_scores) == len(ref_scores)
+    np.testing.assert_allclose(ours_scores, ref_scores, rtol=1e-6)
+    np.testing.assert_allclose(ours_boxes, ref_boxes, rtol=1e-5)
+
+
+def test_nms_handles_all_masked():
+    boxes = jnp.zeros((10, 4))
+    scores = jnp.full((10,), -jnp.inf)
+    _, _, keep = nms(boxes, scores, 0.4, top_k=10)
+    assert not np.asarray(keep).any()
+
+
+def test_select_faces_end_to_end(rng):
+    """Full postprocess against a manual pipeline on synthetic detections."""
+    frame_hw, input_hw = (480, 640), (288, 320)
+    anchors = generate_anchors(input_hw)
+    A = anchors.shape[0]
+    loc = jnp.asarray(rng.normal(0, 0.2, size=(A, 4)).astype(np.float32))
+    conf_face = rng.uniform(0, 1, size=A).astype(np.float32)
+    conf = jnp.asarray(np.stack([1 - conf_face, conf_face], -1))
+
+    det = select_faces(loc, conf, anchors, frame_hw, input_hw,
+                       max_faces=4, score_threshold=0.6, iou_threshold=0.4,
+                       nms_top_k=256)
+    assert det.boxes.shape == (4, 4)
+    assert det.scores.shape == (4,)
+    assert det.valid.shape == (4,)
+
+    # oracle path
+    mask = conf_face > 0.6
+    boxes = np.asarray(clip_boxes(unletterbox_boxes(
+        decode_boxes(loc, anchors, input_hw), frame_hw, input_hw), frame_hw))
+    ref_boxes, ref_scores = _nms_oracle(boxes[mask], conf_face[mask], 0.4)
+    nvalid = int(np.asarray(det.valid).sum())
+    assert nvalid == min(4, len(ref_scores))
+    np.testing.assert_allclose(
+        np.asarray(det.scores)[:nvalid], ref_scores[:nvalid], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(det.boxes)[:nvalid], ref_boxes[:nvalid], rtol=1e-4, atol=1e-3)

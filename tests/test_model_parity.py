@@ -1,0 +1,125 @@
+"""Numerical parity of the JAX models vs the reference's torch definitions.
+
+Random weights are generated in torch (the reference's own model classes,
+loaded from the read-only mount), converted with facekit.weights.convert,
+and outputs compared. Acceptance: embeddings within 1e-3 cosine distance
+(BASELINE.md) — in practice f32 matches to ~1e-5.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from facekit.models import arcface_apply, retinaface_apply  # noqa: E402
+from facekit.weights import (convert_arcface_state_dict,  # noqa: E402
+                             convert_retinaface_state_dict)
+import oracles  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def arcface_oracle(reference_dir):
+    mod = oracles.load_arcface_oracle()
+    torch.manual_seed(0)
+    model = mod.IR_50([112, 112]).eval()
+    # randomize BN stats so parity actually exercises them
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.uniform_(0.8, 1.2)
+                m.bias.uniform_(-0.1, 0.1)
+    return model
+
+
+def test_arcface_ir50_parity(arcface_oracle, rng):
+    x = rng.normal(0, 1, size=(2, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        ref = arcface_oracle(torch.from_numpy(x)).numpy()
+
+    params = convert_arcface_state_dict(arcface_oracle.state_dict(), "ir_50")
+    ours = np.asarray(arcface_apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)), network="ir_50"))
+
+    assert ours.shape == (2, 512)
+    # embeddings are L2-normalized; compare cosine distance
+    cos = (ours * ref).sum(-1)
+    assert (1 - cos).max() < 1e-5, f"cosine distance {(1 - cos).max()}"
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_arcface_embeddings_l2_normalized(arcface_oracle, rng):
+    x = rng.normal(0, 1, size=(3, 3, 112, 112)).astype(np.float32)
+    params = convert_arcface_state_dict(arcface_oracle.state_dict(), "ir_50")
+    out = np.asarray(arcface_apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def retinaface_oracle(reference_dir):
+    mod = oracles.load_retinaface_oracle()
+    torch.manual_seed(1)
+    model = mod.RetinaFace(cfg=oracles.RETINA_CFG, phase="test").eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.uniform_(0.8, 1.2)
+                m.bias.uniform_(-0.1, 0.1)
+            elif isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0, 0.1)
+                if m.bias is not None:
+                    m.bias.uniform_(-0.1, 0.1)
+    return model
+
+
+def test_retinaface_parity(retinaface_oracle, rng):
+    x = rng.normal(0, 1, size=(1, 3, 288, 320)).astype(np.float32)
+    with torch.no_grad():
+        ref_loc, ref_conf, ref_ldm = retinaface_oracle(torch.from_numpy(x))
+
+    params = convert_retinaface_state_dict(retinaface_oracle.state_dict())
+    loc, conf, ldm = retinaface_apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    assert loc.shape == (1, 3780, 4)
+    assert conf.shape == (1, 3780, 2)
+    assert ldm.shape == (1, 3780, 10)
+    np.testing.assert_allclose(np.asarray(loc), ref_loc.numpy(),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(conf), ref_conf.numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ldm), ref_ldm.numpy(),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_retinaface_trim_parity(reference_dir, rng):
+    """The served no-landmark variant (retinaface_trim.py) also converts."""
+    import importlib.util
+    oracles._install_torchvision_shim()
+    import sys
+    if f"{reference_dir}/conversion/retina" not in sys.path:
+        sys.path.insert(0, f"{reference_dir}/conversion/retina")
+    spec = importlib.util.spec_from_file_location(
+        "ref_retinaface_trim",
+        f"{reference_dir}/conversion/retina/models/retinaface_trim.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(2)
+    model = mod.RetinaFace(cfg=oracles.RETINA_CFG, phase="test").eval()
+    x = rng.normal(0, 1, size=(1, 3, 288, 320)).astype(np.float32)
+    with torch.no_grad():
+        ref_loc, ref_conf = model(torch.from_numpy(x))
+
+    params = convert_retinaface_state_dict(model.state_dict())
+    assert "ldm_head" not in params
+    loc, conf = retinaface_apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(loc), ref_loc.numpy(),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(conf), ref_conf.numpy(),
+                               atol=1e-5, rtol=1e-4)
