@@ -1,0 +1,132 @@
+"""HBM-resident embedding gallery with capacity bucketing.
+
+Replaces the reference's host-side gallery management
+(``src/arcface.cpp:150-164``: a raw float* ``m_knownEmbeds`` filled row by
+row, re-``new``ed on every reload, then copied wholesale to the GPU by
+``MatMul::init`` — ``src/matmul.cpp:9-18``). facekit keeps the gallery as a
+device array whose capacity is drawn from a fixed bucket ladder so XLA
+programs see a small set of static shapes (no recompile per enrolled face),
+with a validity count masking the padding rows.
+
+Reload semantics match the reference's ``/reload`` route
+(``src/app.cpp:354-365``): build a fresh gallery from the database rows and
+atomically swap it in — concurrent searches keep using the old array until
+the swap (arrays are immutable), which also fixes the reference's
+unsynchronized-shared-state race (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facekit.ops.similarity import cosine_topk_pallas, cosine_topk_xla
+
+
+def _bucket_capacity(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    # beyond the ladder: round up to the next multiple of the largest bucket
+    top = buckets[-1]
+    return ((n + top - 1) // top) * top
+
+
+class GalleryStore:
+    """Names + device-resident L2-normalized embedding matrix + search."""
+
+    def __init__(self, embed_dim: int = 512,
+                 buckets: Sequence[int] = (1024, 8192, 65536, 1 << 20),
+                 dtype: str = "bfloat16", use_pallas: bool = True,
+                 device=None):
+        self.embed_dim = embed_dim
+        self.buckets = tuple(buckets)
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.use_pallas = use_pallas
+        self.device = device
+        self._lock = threading.Lock()
+        self._names: List[str] = []
+        self._host = np.zeros((0, embed_dim), np.float32)
+        self._device_arr: Optional[jax.Array] = None
+        self._rebuild()
+
+    # -- state ---------------------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        return len(self._names)
+
+    @property
+    def names(self) -> List[str]:
+        return list(self._names)
+
+    @property
+    def capacity(self) -> int:
+        return 0 if self._device_arr is None else self._device_arr.shape[0]
+
+    def _rebuild(self) -> None:
+        n = len(self._names)
+        cap = _bucket_capacity(max(n, 1), self.buckets)
+        arr = np.zeros((cap, self.embed_dim), np.float32)
+        if n:
+            arr[:n] = self._host[:n]
+        dev = jnp.asarray(arr, dtype=self.dtype)
+        if self.device is not None:
+            dev = jax.device_put(dev, self.device)
+        self._device_arr = dev
+
+    # -- mutation (mirrors addEmbedding/resetEmbeddings/initMatMul) ----------
+
+    def load(self, names: Sequence[str], embeddings: np.ndarray) -> None:
+        """Atomically replace the gallery (the /reload path)."""
+        embeddings = np.asarray(embeddings, np.float32).reshape(-1, self.embed_dim)
+        assert len(names) == embeddings.shape[0]
+        with self._lock:
+            self._names = list(names)
+            self._host = embeddings.copy()
+            self._rebuild()
+
+    def add(self, name: str, embedding: np.ndarray) -> None:
+        """Append one row (reference addEmbedding, src/arcface.cpp:150-160)."""
+        emb = np.asarray(embedding, np.float32).reshape(1, self.embed_dim)
+        with self._lock:
+            self._names.append(name)
+            self._host = np.concatenate([self._host, emb], 0)
+            self._rebuild()
+
+    def reset(self) -> None:
+        """Clear (reference resetEmbeddings, src/arcface.cpp:233-236)."""
+        with self._lock:
+            self._names = []
+            self._host = np.zeros((0, self.embed_dim), np.float32)
+            self._rebuild()
+
+    # -- search ---------------------------------------------------------------
+
+    def search(self, queries: jnp.ndarray, k: int = 1,
+               interpret: bool = False) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+        """(B, D) queries -> (scores (B, k), indices (B, k), names).
+
+        ``names`` is the snapshot matching the indices (atomic with the
+        array used), so a concurrent reload can't skew the id mapping.
+        """
+        with self._lock:
+            arr = self._device_arr
+            names = self._names
+            count = len(names)
+        if count == 0:
+            raise ValueError(
+                "Feature matching: No faces in database")  # reference msg
+        queries = queries.astype(self.dtype)
+        kk = min(k, count)
+        if self.use_pallas:
+            vals, idx = cosine_topk_pallas(arr, queries,
+                                           jnp.int32(count), k=kk,
+                                           interpret=interpret)
+        else:
+            vals, idx = cosine_topk_xla(arr, queries, jnp.int32(count), k=kk)
+        return np.asarray(vals), np.asarray(idx), names

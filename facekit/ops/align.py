@@ -1,0 +1,117 @@
+"""5-point similarity-transform face alignment (facekit extension).
+
+The served reference crops axis-aligned bboxes only — its landmark head is
+stripped (``conversion/retina/models/retinaface_trim.py:87,121``) and
+``src/retinaface.cpp:58-60`` notes "Does not make landmark head as we do not
+use face alignment". The full model in the same repo keeps the head
+(``conversion/retina/models/retinaface.py:87``), and ArcFace-style pipelines
+canonically align faces to the 112x112 ArcFace template before embedding.
+facekit restores that: Umeyama similarity estimation + affine warp, fully
+in-graph (traced landmarks, static shapes).
+
+The warp is a gather-based bilinear sample (constant-0 border like
+cv2.warpAffine's default) — 112*112 samples per face is tiny next to the
+IR-50 forward, and XLA vectorizes the gathers fine outside Pallas.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Canonical ArcFace 112x112 5-point template (insightface norm_crop).
+ARCFACE_TEMPLATE_112 = np.array([
+    [38.2946, 51.6963],
+    [73.5318, 51.5014],
+    [56.0252, 71.7366],
+    [41.5493, 92.3655],
+    [70.7299, 92.2041],
+], dtype=np.float32)
+
+
+def umeyama(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares similarity transform (Umeyama 1991) src -> dst.
+
+    src, dst: (P, 2). Returns a (2, 3) matrix M with dst ~= src @ M[:, :2].T
+    + M[:, 2].
+    """
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    n = src.shape[0]
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = dc.T @ sc / n                       # (2, 2)
+    u, s, vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(u) * jnp.linalg.det(vt))
+    diag = jnp.stack([1.0, d])
+    r = (u * diag[None, :]) @ vt
+    var_s = (sc ** 2).sum(1).mean()
+    scale = (s * diag).sum() / var_s
+    t = mu_d - scale * (r @ mu_s)
+    return jnp.concatenate([scale * r, t[:, None]], axis=1)
+
+
+def _invert_affine(m: jnp.ndarray) -> jnp.ndarray:
+    a = m[:, :2]
+    t = m[:, 2]
+    det = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+    inv = jnp.asarray([[m[1, 1], -m[0, 1]], [-m[1, 0], m[0, 0]]]) / det
+    return jnp.concatenate([inv, (-inv @ t)[:, None]], axis=1)
+
+
+def _bilinear_sample(frame: jnp.ndarray, xs: jnp.ndarray,
+                     ys: jnp.ndarray) -> jnp.ndarray:
+    """Sample (H, W, C) frame at float coords; constant-0 outside."""
+    h, w, c = frame.shape
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = xs - x0
+    fy = ys - y0
+
+    def tap(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = frame[yc, xc]                     # gathered (..., C)
+        return jnp.where(inb[..., None], vals, 0.0)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def warp_align(frame: jnp.ndarray, landmarks: jnp.ndarray,
+               out_hw: Tuple[int, int] = (112, 112)) -> jnp.ndarray:
+    """Align faces by 5-point landmarks. frame (H, W, C), landmarks (F, 5, 2)
+    in (x, y) frame pixels -> (F, out_h, out_w, C)."""
+    oh, ow = out_hw
+    frame = frame.astype(jnp.float32)
+    template = jnp.asarray(ARCFACE_TEMPLATE_112)
+    if (oh, ow) != (112, 112):
+        template = template * jnp.asarray([ow / 112.0, oh / 112.0])
+
+    xs = jnp.arange(ow, dtype=jnp.float32)
+    ys = jnp.arange(oh, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)                 # (oh, ow)
+
+    def one(lm):
+        m = umeyama(lm, template)
+        mi = _invert_affine(m)
+        sx = mi[0, 0] * gx + mi[0, 1] * gy + mi[0, 2]
+        sy = mi[1, 0] * gx + mi[1, 1] * gy + mi[1, 2]
+        return _bilinear_sample(frame, sx, sy)
+
+    return jax.vmap(one)(landmarks.astype(jnp.float32))

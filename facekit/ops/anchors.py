@@ -31,12 +31,11 @@ SLIM_RFB_MIN_SIZES: Tuple[Tuple[int, ...], ...] = (
 
 
 @functools.lru_cache(maxsize=16)
-def generate_anchors(
+def _generate_anchors_np(
     input_hw: Tuple[int, int],
-    steps: Tuple[int, ...] = RETINAFACE_STEPS,
-    min_sizes: Tuple[Tuple[int, ...], ...] = RETINAFACE_MIN_SIZES,
-) -> jnp.ndarray:
-    """(A, 4) normalized anchors (cx, cy, sx, sy) for the given input size."""
+    steps: Tuple[int, ...],
+    min_sizes: Tuple[Tuple[int, ...], ...],
+) -> np.ndarray:
     h, w = input_hw
     out = []
     for step, sizes in zip(steps, min_sizes):
@@ -51,7 +50,21 @@ def generate_anchors(
         sx = sizes_arr / w
         sy = sizes_arr / h
         out.append(np.stack([cx, cy, sx, sy], -1).reshape(-1, 4))
-    return jnp.asarray(np.concatenate(out, 0), dtype=jnp.float32)
+    return np.concatenate(out, 0).astype(np.float32)
+
+
+def generate_anchors(
+    input_hw: Tuple[int, int],
+    steps: Tuple[int, ...] = RETINAFACE_STEPS,
+    min_sizes: Tuple[Tuple[int, ...], ...] = RETINAFACE_MIN_SIZES,
+) -> jnp.ndarray:
+    """(A, 4) normalized anchors (cx, cy, sx, sy) for the given input size.
+
+    The numpy computation is cached; the jnp conversion happens per call so
+    no traced constant is ever cached across jit traces.
+    """
+    return jnp.asarray(_generate_anchors_np(input_hw, tuple(steps),
+                                            tuple(map(tuple, min_sizes))))
 
 
 def num_anchors(input_hw: Tuple[int, int],

@@ -1,0 +1,174 @@
+"""Cosine-similarity gallery search: tiled matmul fused with top-k.
+
+TPU-native replacement for the reference's cuBLASLt path
+(``src/matmul.cpp:36-77``), which computes the full (gallery x queries)
+similarity matrix on GPU, copies all m*n floats back to the host, and
+argmaxes on the CPU (``src/arcface.cpp:203-217``). For a 1M-row gallery that
+D2H copy alone is 64 MB per batch; facekit instead keeps the gallery
+HBM-resident and fuses the reduction into the matmul so only (B, k) scores
+and indices ever leave the device.
+
+Two implementations with identical semantics (cross-checked in tests):
+
+  * ``cosine_topk_xla``   — jnp.dot + lax.top_k, used as the reference
+                            implementation and CPU fallback;
+  * ``cosine_topk_pallas``— Pallas kernel streaming gallery tiles
+                            HBM->VMEM, one (B, TILE) MXU matmul per tile and
+                            an in-register running top-k, so the similarity
+                            matrix is never materialized in HBM.
+
+Embeddings are L2-normalized by the models, so cosine similarity == dot
+product (the reference relies on the same invariant,
+``src/arcface.cpp:189-193``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_xla(gallery: jnp.ndarray, queries: jnp.ndarray,
+                    count: jnp.ndarray, k: int = 1
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference implementation. gallery (N, D), queries (B, D) -> (B, k) x2.
+
+    ``count`` masks padding rows beyond the live gallery size (the gallery
+    array is capacity-bucketed; see facekit.gallery.store).
+    """
+    sims = jnp.dot(queries, gallery.T, preferred_element_type=jnp.float32)
+    n = gallery.shape[0]
+    valid = jnp.arange(n) < count
+    sims = jnp.where(valid[None, :], sims, NEG_INF)
+    vals, idx = jax.lax.top_k(sims, k)
+    return vals, idx
+
+
+def _topk_rows(vals: jnp.ndarray, idx: jnp.ndarray, k: int):
+    """Per-row top-k of (B, T) vals/idx using k max-extract steps.
+
+    Pure VPU ops (no gather/sort), so it lowers cleanly inside Pallas.
+    """
+    out_v = []
+    out_i = []
+    big = jnp.int32(2 ** 30)
+    for _ in range(k):
+        m = jnp.max(vals, axis=1, keepdims=True)              # (B, 1)
+        hit = vals == m                                        # (B, T)
+        # tie-break on smallest index (== first occurrence, matching both
+        # lax.top_k and std::max_element in src/arcface.cpp:210)
+        picked_idx = jnp.min(jnp.where(hit, idx, big), axis=1, keepdims=True)
+        out_v.append(m)
+        out_i.append(picked_idx)
+        vals = jnp.where(idx == picked_idx, NEG_INF, vals)
+    return jnp.concatenate(out_v, 1), jnp.concatenate(out_i, 1)
+
+
+def _search_kernel(count_ref, q_ref, g_ref, out_v_ref, out_i_ref,
+                   run_v, run_i, *, tile_n: int, k: int):
+    pid = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        run_v[:] = jnp.full_like(run_v, NEG_INF)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    # (B, TILE) similarity tile on the MXU; accumulate in f32
+    sims = jax.lax.dot_general(
+        q_ref[:], g_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    base = pid * tile_n
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
+    sims = jnp.where(col < count_ref[0], sims, NEG_INF)
+
+    tile_v, tile_i = _topk_rows(sims, col, k)
+    merged_v = jnp.concatenate([run_v[:], tile_v], axis=1)
+    merged_i = jnp.concatenate([run_i[:], tile_i], axis=1)
+    new_v, new_i = _topk_rows(merged_v, merged_i, k)
+    run_v[:] = new_v
+    run_i[:] = new_i
+
+    @pl.when(pid == nprog - 1)
+    def _emit():
+        out_v_ref[:] = run_v[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile_n", "interpret"))
+def cosine_topk_pallas(gallery: jnp.ndarray, queries: jnp.ndarray,
+                       count: jnp.ndarray, k: int = 1, tile_n: int = 2048,
+                       interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused tiled matmul + top-k. gallery (N, D), queries (B, D).
+
+    The gallery stays in HBM; tiles of ``tile_n`` rows are streamed through
+    VMEM (Pallas double-buffers across the sequential grid), multiplied
+    against the resident queries, and folded into a running (B, k) top-k in
+    VMEM scratch. Output: (B, k) scores f32 and indices int32.
+    """
+    n, d = gallery.shape
+    b = queries.shape[0]
+    sub = 16 if queries.dtype == jnp.bfloat16 else 8
+    b_pad = _round_up(b, sub)
+    if b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+    tile_n = min(tile_n, _round_up(n, 256))
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        # The gallery store pre-pads capacity to tile multiples so this is a
+        # no-op on the serving path (no 1M-row copy per query batch).
+        gallery = jnp.pad(gallery, ((0, n_pad - n), (0, 0)))
+    grid = n_pad // tile_n
+
+    kernel = functools.partial(_search_kernel, tile_n=tile_n, k=k)
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((b_pad, d), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),       # queries resident
+                pl.BlockSpec((tile_n, d), lambda i, c: (i, 0),
+                             memory_space=pltpu.VMEM),       # gallery tile
+            ],
+            out_specs=(
+                pl.BlockSpec((b_pad, k), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_pad, k), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((b_pad, k), jnp.float32),
+                pltpu.VMEM((b_pad, k), jnp.int32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d,
+            bytes_accessed=n_pad * d * gallery.dtype.itemsize
+            + b_pad * d * queries.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([count], jnp.int32).reshape(1), queries, gallery)
+    return out_v[:b], out_i[:b]

@@ -1,0 +1,142 @@
+"""The fused detect -> crop/align -> embed pipeline.
+
+Replaces the reference's hot path (``src/app.cpp:293-352``: findFace ->
+getCroppedFaces -> preprocessFaces -> per-face batch-1 doInference ->
+featureMatching), which bounces every stage through host memory and runs
+faces one at a time. facekit compiles the whole thing into ONE XLA program
+per frame with static shapes:
+
+    letterbox+normalize -> RetinaFace -> decode+NMS (max_faces slots)
+        -> crop-resize (or 5-pt align) all faces batched -> ArcFace
+
+The only host<->device transfers are the JPEG-decoded frame in and
+(boxes, scores, valid, embeddings) out. Variable face counts are handled by
+padding to ``det_maxFacesPerScene`` with a validity mask (invalid slots cost
+compute but keep shapes static — maxFaces is 4, the MXU doesn't notice).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facekit.config import FaceKitConfig
+from facekit.models.arcface import arcface_apply
+from facekit.models.retinaface import retinaface_apply
+from facekit.ops.align import warp_align
+from facekit.ops.anchors import generate_anchors
+from facekit.ops.boxes import Detections, select_faces
+from facekit.ops.preprocess import det_normalize, rec_normalize
+from facekit.ops.resize import crop_resize, letterbox, resize_image
+from facekit.ops.similarity import NEG_INF
+
+
+class FrameResult(NamedTuple):
+    boxes: jnp.ndarray        # (F, 4) frame pixels
+    scores: jnp.ndarray       # (F,)
+    valid: jnp.ndarray        # (F,) bool
+    embeddings: jnp.ndarray   # (F, 512) L2-normalized (garbage where invalid)
+    landmarks: Optional[jnp.ndarray] = None   # (F, 5, 2) or None
+    crops: Optional[jnp.ndarray] = None       # (F, 112, 112, 3) BGR uint8-ish
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_hw", "det_hw", "rec_hw", "max_faces",
+                     "score_thr", "iou_thr", "use_landmarks", "align",
+                     "rec_network", "dtype", "return_crops"))
+def _recognize_frame(det_params, rec_params, frame, *, frame_hw, det_hw,
+                     rec_hw, max_faces, score_thr, iou_thr, use_landmarks,
+                     align, rec_network, dtype, return_crops):
+    frame = frame.astype(jnp.float32)
+    x = letterbox(frame, det_hw)
+    x = det_normalize(x)[None]
+    out = retinaface_apply(det_params, x, dtype=dtype)
+    if use_landmarks:
+        loc, conf, ldm = out
+        ldm0 = ldm[0]
+    else:
+        loc, conf = out
+        ldm0 = None
+    anchors = generate_anchors(det_hw)
+    det = select_faces(loc[0], conf[0], anchors, frame_hw, det_hw,
+                       max_faces=max_faces, score_threshold=score_thr,
+                       iou_threshold=iou_thr, ldm=ldm0)
+    if align and use_landmarks:
+        faces = warp_align(frame, det.landmarks, rec_hw)
+    else:
+        faces = crop_resize(frame, det.boxes, rec_hw, "cubic")
+    emb = arcface_apply(rec_params, rec_normalize(faces), network=rec_network,
+                        dtype=dtype)
+    return FrameResult(det.boxes, det.scores, det.valid, emb, det.landmarks,
+                       faces if return_crops else None)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rec_hw", "rec_network", "dtype"))
+def _embed_cropped(rec_params, img, *, rec_hw, rec_network, dtype):
+    """(H, W, 3) BGR already-cropped face -> (512,). Resizes if needed on
+    device (the /insert/face api_imgIsCropped path, src/app.cpp:148-162)."""
+    img = img.astype(jnp.float32)
+    if img.shape[:2] != rec_hw:
+        img = resize_image(img, rec_hw, "linear", saturate=True)
+    emb = arcface_apply(rec_params, rec_normalize(img)[None],
+                        network=rec_network, dtype=dtype)
+    return emb[0]
+
+
+class FacePipeline:
+    """Owns model params + the jitted programs for one config.
+
+    The facekit analog of the reference's (detector, recognizer) object pair
+    wired in ``src/app.cpp:52-57`` — but stateless per request: no shared
+    mutable buffers, so concurrent callers can't race (fixes SURVEY.md
+    §2.12's thread-safety hazard by construction).
+    """
+
+    def __init__(self, config: FaceKitConfig, det_params: Dict[str, Any],
+                 rec_params: Dict[str, Any]):
+        self.config = config
+        self.det_params = det_params
+        self.rec_params = rec_params
+        self.use_landmarks = "ldm_head" in det_params
+        self.align = self.use_landmarks and bool(
+            config.extras.get("rec_useAlignment", False))
+        self.dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+                      else jnp.float32)
+
+    # -- device programs -----------------------------------------------------
+
+    def recognize_frame(self, frame_bgr: np.ndarray,
+                        return_crops: bool = False) -> FrameResult:
+        """Full fused pipeline on one (frameH, frameW, 3) BGR frame."""
+        cfg = self.config
+        return _recognize_frame(
+            self.det_params, self.rec_params, jnp.asarray(frame_bgr),
+            frame_hw=cfg.frame_hw, det_hw=cfg.det_hw, rec_hw=cfg.rec_hw,
+            max_faces=cfg.det_maxFacesPerScene,
+            score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
+            use_landmarks=self.use_landmarks, align=self.align,
+            rec_network=cfg.rec_network, dtype=self.dtype,
+            return_crops=return_crops)
+
+    def embed_cropped(self, img_bgr: np.ndarray) -> np.ndarray:
+        """Embed an already-cropped face image (any size; device-resized)."""
+        emb = _embed_cropped(self.rec_params, jnp.asarray(img_bgr),
+                             rec_hw=self.config.rec_hw,
+                             rec_network=self.config.rec_network,
+                             dtype=self.dtype)
+        return np.asarray(emb)
+
+    def warmup(self) -> None:
+        """Compile all programs up front (the reference's engine-load UX)."""
+        fh, fw = self.config.frame_hw
+        dummy = np.zeros((fh, fw, 3), np.uint8)
+        self.recognize_frame(dummy, return_crops=True)
+        self.recognize_frame(dummy, return_crops=False)
+        rh, rw = self.config.rec_hw
+        self.embed_cropped(np.zeros((rh, rw, 3), np.uint8))

@@ -1,0 +1,375 @@
+"""The facekit serving layer: the reference's 7-endpoint HTTP/WS contract.
+
+Endpoint-for-endpoint reproduction of the Crow app in ``src/app.cpp:116-367``
+(documented in ``app/README.md``), same port 18080, same request/response
+shapes — including the quirks existing clients may rely on:
+
+  * ``POST /recognize`` does NOT run detection: it resizes the whole posted
+    image to the recognizer input and embeds it (src/app.cpp:255-267),
+    returning {"userId", "similarity"} — "null" on failure;
+  * ``POST /insert/face`` persists to SQLite but does NOT update the live
+    gallery — a ``GET /reload`` is required (src/app.cpp:189 note);
+  * ``WS /inference`` is the full detect->embed->match path and replies with
+    {"image" (base64 jpg of the best crop), "userId", "userName",
+    "similarity", "isUnknown"} or the literal text "null" on failure;
+  * response strings ("Success! User `x` inserted.\n", ...) match verbatim.
+
+Unlike the Crow app (multithreaded handlers over shared mutable model
+state — the race documented in SURVEY.md §2.12), handlers here are
+stateless against an immutable pipeline; gallery swaps are atomic. Device
+work runs on a single executor thread: XLA programs are already serialized
+per device, so more threads would only add contention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import concurrent.futures
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+log = logging.getLogger("facekit.server")
+
+
+def _require_cv2():
+    import cv2
+    return cv2
+
+
+class FaceServer:
+    """Wires config -> models -> pipeline -> gallery -> db (src/app.cpp:12-106)."""
+
+    def __init__(self, config, det_params=None, rec_params=None,
+                 warmup: bool = True):
+        import jax
+        from facekit.db import Database
+        from facekit.gallery import GalleryStore
+        from facekit.models import arcface_init, retinaface_init
+        from facekit.pipeline import FacePipeline
+        from facekit.weights import load_params
+
+        self.config = config
+        if det_params is None:
+            det_params = retinaface_init(jax.random.PRNGKey(0),
+                                         with_landmarks=config.det_withLandmarks)
+            if config.det_weights:
+                det_params = load_params(det_params, config.det_weights)
+        if rec_params is None:
+            rec_params = arcface_init(jax.random.PRNGKey(1),
+                                      network=config.rec_network)
+            if config.rec_weights:
+                rec_params = load_params(rec_params, config.rec_weights)
+
+        self.pipeline = FacePipeline(config, det_params, rec_params)
+        self.db = Database(config.database_path, config.rec_outputDim)
+        self.gallery = GalleryStore(
+            embed_dim=config.rec_outputDim,
+            buckets=config.gallery_bucket_sizes,
+            dtype=config.gallery_dtype,
+            use_pallas=config.use_pallas_search and _on_tpu())
+        self.user_dict: Dict[str, str] = self.db.get_user_dict()
+        self.reload_gallery()
+        # one worker: device programs serialize on the chip anyway
+        self.executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        if warmup:
+            self.pipeline.warmup()
+
+    # -- gallery management (reference /reload, src/app.cpp:354-365) ---------
+
+    def reload_gallery(self) -> int:
+        names, embs = self.db.get_embeddings()
+        self.gallery.load(names, embs)
+        self.user_dict = self.db.get_user_dict()
+        log.info("gallery reloaded: %d embeddings", len(names))
+        return len(names)
+
+    # -- gen mode (reference src/app.cpp:69-99) -------------------------------
+
+    def enroll_folder(self, source: str, is_cropped: bool = True) -> int:
+        """Batch-enroll <source>/<className>/<img> trees (getFilePaths
+        semantics, src/common.cpp:8-41: class name = subfolder name)."""
+        cv2 = _require_cv2()
+        count = 0
+        for class_name in sorted(os.listdir(source)):
+            cdir = os.path.join(source, class_name)
+            if not os.path.isdir(cdir):
+                continue
+            for fname in sorted(os.listdir(cdir)):
+                path = os.path.join(cdir, fname)
+                img = cv2.imread(path)
+                if img is None:
+                    continue
+                emb = self._embed_enrollment_image(img, is_cropped)
+                if emb is None:
+                    log.warning("no single face in %s; skipped", path)
+                    continue
+                self.db.insert_user(class_name, class_name)
+                self.db.insert_face(class_name, path, emb)
+                count += 1
+        return count
+
+    def _embed_enrollment_image(self, img_bgr, is_cropped: bool
+                                ) -> Optional[np.ndarray]:
+        cv2 = _require_cv2()
+        cfg = self.config
+        if is_cropped:
+            return self.pipeline.embed_cropped(img_bgr)
+        frame = cv2.resize(img_bgr, (cfg.input_frameWidth,
+                                     cfg.input_frameHeight))
+        res = self.pipeline.recognize_frame(frame)
+        valid = np.asarray(res.valid)
+        if valid.sum() != 1:
+            return None
+        return np.asarray(res.embeddings)[0]
+
+
+def _on_tpu() -> bool:
+    import jax
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def make_app(server: FaceServer):
+    from aiohttp import web, WSMsgType
+    cv2 = _require_cv2()
+    cfg = server.config
+
+    def run_blocking(fn, *args):
+        loop = asyncio.get_running_loop()
+        return loop.run_in_executor(server.executor, fn, *args)
+
+    # -- POST /insert/user (src/app.cpp:118-129) ------------------------------
+    async def insert_user(request):
+        try:
+            x = json.loads(await request.text())
+            user_id = x["userId"]
+            user_name = x["userName"]
+        except Exception:
+            return web.Response(status=400)
+        ret = server.db.insert_user(user_id, user_name)
+        if ret == 1:
+            body = f"Success! User `{user_id}` inserted.\n"
+        else:
+            body = f"Fail! User `{user_id}` already in database.\n"
+        return web.Response(text=body)
+
+    # -- POST /insert/face (src/app.cpp:131-217) ------------------------------
+    def _insert_face_sync(body: str) -> str:
+        response = ""
+        try:
+            j = json.loads(body)
+        except json.JSONDecodeError:
+            return "Please check json input\n"
+        if "data" not in j:
+            return "Cant find field `data` in input!\n"
+        for el in j["data"]:
+            try:
+                user_id = el["userId"]
+                img_path = el["imgPath"]
+                if not os.path.isfile(img_path):
+                    raise RuntimeError("Image path not found")
+                image = cv2.imread(img_path)
+                if image is None:
+                    raise RuntimeError("Image path not found")
+                ret = 0
+                emb = None
+                if cfg.api_imgIsCropped:
+                    emb = server.pipeline.embed_cropped(image)
+                    ret = 1
+                else:
+                    frame = cv2.resize(image, (cfg.input_frameWidth,
+                                               cfg.input_frameHeight))
+                    res = server.pipeline.recognize_frame(frame)
+                    nvalid = int(np.asarray(res.valid).sum())
+                    if nvalid > 1:
+                        response += ("There are more than 1 faces in input "
+                                     f"image from `{img_path}`\n")
+                        ret = 2
+                    elif nvalid == 0:
+                        response += ("Cant find any faces in input image "
+                                     f"from `{img_path}`\n")
+                        ret = 3
+                    else:
+                        response += (f"1 face found in input image from "
+                                     f"`{img_path}`, processing...\n")
+                        emb = np.asarray(res.embeddings)[0]
+                        ret = 1
+                if ret != 1:
+                    response += (f"Fail! Embedding for `{user_id}` cannot "
+                                 "be inserted.\n")
+                else:
+                    ret = server.db.insert_face(user_id, img_path, emb)
+                    if ret == 1:
+                        response += (f"Success! Embedding for `{user_id}` "
+                                     "inserted successfully.\n")
+                    else:
+                        response += (f"Fail! Embedding for `{user_id}` "
+                                     "cannot be inserted.\n")
+            except RuntimeError as e:
+                log.warning("Exception: %s", e)
+                response = f"{e}\n"
+        return response
+
+    async def insert_face(request):
+        body = await request.text()
+        response = await run_blocking(_insert_face_sync, body)
+        return web.Response(text=response)
+
+    # -- GET /delete/user, /delete/face (src/app.cpp:219-241) ----------------
+    async def delete_user(request):
+        user_id = request.rel_url.query.get("id")
+        if user_id is None:
+            return web.Response(text="Failed\n")
+        server.db.delete_user(user_id)
+        return web.Response(text="Success\n")
+
+    async def delete_face(request):
+        face_id = request.rel_url.query.get("id")
+        if face_id is None:
+            return web.Response(text="Failed\n")
+        server.db.delete_face(int(face_id))
+        return web.Response(text="Success\n")
+
+    # -- POST /recognize (src/app.cpp:243-287) --------------------------------
+    def _recognize_sync(data: bytes) -> Optional[dict]:
+        arr = np.frombuffer(data, np.uint8)
+        frame = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
+        if frame is None:
+            return None
+        if frame.ndim == 2:
+            frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)
+        # the reference embeds the WHOLE image, no detection (:255-267)
+        emb = server.pipeline.embed_cropped(frame)
+        try:
+            vals, idx, names = server.gallery.search(emb[None].astype(np.float32))
+        except ValueError as e:
+            log.warning("Exception: %s", e)
+            return None
+        return {"userId": names[int(idx[0, 0])],
+                "similarity": float(vals[0, 0])}
+
+    async def recognize(request):
+        data = await request.read()
+        retval = await run_blocking(_recognize_sync, data)
+        if retval is None:
+            return web.Response(text="null",
+                                content_type="application/json")
+        return web.json_response(retval)
+
+    # -- WS /inference (src/app.cpp:289-352) ----------------------------------
+    def _inference_sync(data: bytes) -> Optional[dict]:
+        arr = np.frombuffer(data, np.uint8)
+        raw = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
+        if raw is None:
+            return None
+        if raw.ndim == 2:
+            raw = cv2.cvtColor(raw, cv2.COLOR_GRAY2BGR)
+        frame = cv2.resize(raw, (cfg.input_frameWidth, cfg.input_frameHeight))
+        res = server.pipeline.recognize_frame(frame, return_crops=True)
+        valid = np.asarray(res.valid)
+        if valid.sum() < 1:
+            return None
+        emb = np.asarray(res.embeddings)[valid]
+        crops = np.asarray(res.crops)[valid]
+        try:
+            vals, idx, names = server.gallery.search(emb.astype(np.float32))
+        except ValueError as e:
+            log.warning("Exception: %s", e)
+            return None
+        sims = vals[:, 0]
+        best = int(sims.argmax())
+        user_id = names[int(idx[best, 0])]
+        sim = float(sims[best])
+        crop_u8 = np.clip(crops[best], 0, 255).astype(np.uint8)
+        ok, buf = cv2.imencode(".jpg", crop_u8)
+        encoded = base64.b64encode(buf.tobytes()).decode() if ok else ""
+        return {
+            "image": encoded,
+            "userId": user_id,
+            "userName": server.user_dict.get(user_id, ""),
+            "similarity": sim,
+            "isUnknown": sim < cfg.rec_knownPersonThreshold,
+        }
+
+    async def inference(request):
+        ws = web.WebSocketResponse()
+        await ws.prepare(request)
+        log.info("Inference socket opened")
+        async for msg in ws:
+            if msg.type in (WSMsgType.BINARY, WSMsgType.TEXT):
+                data = (msg.data if isinstance(msg.data, (bytes, bytearray))
+                        else msg.data.encode("latin-1"))
+                retval = await run_blocking(_inference_sync, data)
+                if retval is None:
+                    await ws.send_str("null")
+                else:
+                    await ws.send_str(json.dumps(retval))
+            elif msg.type == WSMsgType.ERROR:
+                break
+        log.info("Inference socket closed")
+        return ws
+
+    # -- GET /reload (src/app.cpp:354-365) ------------------------------------
+    async def reload(request):
+        await run_blocking(server.reload_gallery)
+        return web.Response(text="Success\n")
+
+    # -- facekit extensions ----------------------------------------------------
+    async def health(request):
+        return web.json_response({
+            "status": "ok",
+            "gallery_count": server.gallery.count,
+            "gallery_capacity": server.gallery.capacity,
+            "users": len(server.user_dict),
+        })
+
+    app = web.Application(client_max_size=64 * 1024 * 1024)
+    app.router.add_post("/insert/user", insert_user)
+    app.router.add_post("/insert/face", insert_face)
+    app.router.add_get("/delete/user", delete_user)
+    app.router.add_get("/delete/face", delete_face)
+    app.router.add_post("/recognize", recognize)
+    app.router.add_get("/inference", inference)
+    app.router.add_get("/reload", reload)
+    app.router.add_get("/health", health)
+    return app
+
+
+def main(argv=None):
+    from aiohttp import web
+    from facekit.config import load_config
+
+    ap = argparse.ArgumentParser("facekit server")
+    ap.add_argument("-c", "--config", default=None)
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--db", default=None)
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = load_config(args.config) if args.config else load_config({})
+    if args.db:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, database_path=args.db)
+    server = FaceServer(cfg, warmup=not args.no_warmup)
+
+    if cfg.gen:  # batch-enrollment mode, then exit (src/app.cpp:69-99)
+        n = server.enroll_folder(cfg.gen_imgSource, cfg.gen_imgIsCropped)
+        log.info("Database generated (%d faces). Exiting...", n)
+        return
+
+    port = args.port or cfg.server_port
+    web.run_app(make_app(server), port=port)
+
+
+if __name__ == "__main__":
+    main()

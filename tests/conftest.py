@@ -20,8 +20,22 @@ import jax  # noqa: E402
 # back before any backend is touched.
 jax.config.update("jax_platforms", "cpu")
 
+import asyncio  # noqa: E402
+import inspect  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_pyfunc_call(pyfuncitem):
+    """Run ``async def`` tests with asyncio.run (no pytest-asyncio here)."""
+    fn = pyfuncitem.obj
+    if inspect.iscoroutinefunction(fn):
+        kwargs = {name: pyfuncitem.funcargs[name]
+                  for name in pyfuncitem._fixtureinfo.argnames}
+        asyncio.run(fn(**kwargs))
+        return True
+    return None
 
 REFERENCE_DIR = "/root/reference"
 

@@ -1,0 +1,64 @@
+"""End-to-end pipeline tests (random weights; shapes/semantics, not accuracy)."""
+
+import numpy as np
+import jax
+import pytest
+
+from facekit.config import FaceKitConfig
+from facekit.models import arcface_init, retinaface_init
+from facekit.pipeline import FacePipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    cfg = FaceKitConfig(input_frameWidth=320, input_frameHeight=240,
+                        det_inputShape=(3, 192, 192), compute_dtype="float32")
+    det = retinaface_init(jax.random.PRNGKey(0), with_landmarks=True)
+    rec = arcface_init(jax.random.PRNGKey(1))
+    return FacePipeline(cfg, det, rec)
+
+
+def test_recognize_frame_shapes(pipeline, rng):
+    frame = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
+    res = pipeline.recognize_frame(frame, return_crops=True)
+    f = pipeline.config.det_maxFacesPerScene
+    assert res.boxes.shape == (f, 4)
+    assert res.embeddings.shape == (f, 512)
+    assert res.landmarks.shape == (f, 5, 2)
+    assert res.crops.shape == (f, 112, 112, 3)
+    # valid embeddings should be L2-normalized
+    emb = np.asarray(res.embeddings)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
+
+
+def test_embed_cropped_resizes(pipeline, rng):
+    img = rng.integers(0, 256, size=(99, 140, 3), dtype=np.uint8)
+    emb = pipeline.embed_cropped(img)
+    assert emb.shape == (512,)
+    np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-4)
+
+
+def test_embed_cropped_exact_size(pipeline, rng):
+    img = rng.integers(0, 256, size=(112, 112, 3), dtype=np.uint8)
+    emb = pipeline.embed_cropped(img)
+    assert emb.shape == (512,)
+
+
+def test_deterministic(pipeline, rng):
+    frame = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
+    r1 = pipeline.recognize_frame(frame)
+    r2 = pipeline.recognize_frame(frame)
+    np.testing.assert_array_equal(np.asarray(r1.embeddings),
+                                  np.asarray(r2.embeddings))
+
+
+def test_no_landmark_pipeline(rng):
+    cfg = FaceKitConfig(input_frameWidth=320, input_frameHeight=240,
+                        det_inputShape=(3, 192, 192), compute_dtype="float32")
+    det = retinaface_init(jax.random.PRNGKey(0), with_landmarks=False)
+    rec = arcface_init(jax.random.PRNGKey(1))
+    pipe = FacePipeline(cfg, det, rec)
+    frame = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
+    res = pipe.recognize_frame(frame)
+    assert res.landmarks is None
+    assert res.embeddings.shape == (4, 512)

@@ -1,0 +1,157 @@
+"""API-contract tests replaying the reference's documented curl examples
+(app/README.md) against the aiohttp app, including the WS path."""
+
+import contextlib
+import json
+
+import cv2
+import jax
+import numpy as np
+import pytest
+
+from facekit.config import FaceKitConfig
+from facekit.models import arcface_init, retinaface_init
+from facekit.server import FaceServer, make_app
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def face_server(tmp_path_factory):
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("db") / "test.db"),
+        input_frameWidth=320, input_frameHeight=240,
+        det_inputShape=(3, 192, 192), compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False)
+    det = retinaface_init(jax.random.PRNGKey(0), with_landmarks=True)
+    rec = arcface_init(jax.random.PRNGKey(1))
+    return FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+
+
+@contextlib.asynccontextmanager
+async def make_client(face_server):
+    c = TestClient(TestServer(make_app(face_server)))
+    await c.start_server()
+    try:
+        yield c
+    finally:
+        await c.close()
+
+
+def _jpg(rng, hw=(240, 320)):
+    img = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    return buf.tobytes(), img
+
+
+async def test_insert_user_contract(face_server):
+    async with make_client(face_server) as client:
+        r = await client.post("/insert/user", data=json.dumps(
+            {"userId": "morty", "userName": "Morty Smith"}))
+        assert await r.text() == "Success! User `morty` inserted.\n"
+        r = await client.post("/insert/user", data=json.dumps(
+            {"userId": "morty", "userName": "Morty Smith"}))
+        assert await r.text() == "Fail! User `morty` already in database.\n"
+        r = await client.post("/insert/user", data="not json")
+        assert r.status == 400
+
+
+async def test_insert_face_and_reload_and_recognize(face_server, tmp_path,
+                                                    rng):
+    async with make_client(face_server) as client:
+        data, img = _jpg(rng, hw=(112, 112))
+        path = tmp_path / "face.jpg"
+        path.write_bytes(data)
+
+        r = await client.post("/insert/face", data=json.dumps(
+            {"data": [{"userId": "morty", "imgPath": str(path)}]}))
+        assert "Success! Embedding for `morty` inserted successfully." in (
+            await r.text())
+
+        # insert does NOT touch the live gallery (reference semantics)
+        assert face_server.gallery.count == 0
+        r = await client.get("/reload")
+        assert await r.text() == "Success\n"
+        assert face_server.gallery.count == 1
+
+        # /recognize on the same image must match morty with sim ~1
+        r = await client.post("/recognize", data=data)
+        body = json.loads(await r.text())
+        assert body["userId"] == "morty"
+        assert body["similarity"] > 0.95
+
+
+async def test_insert_face_missing_path(face_server):
+    async with make_client(face_server) as client:
+        r = await client.post("/insert/face", data=json.dumps(
+            {"data": [{"userId": "x", "imgPath": "/nonexistent.jpg"}]}))
+        assert "Image path not found" in await r.text()
+
+
+async def test_insert_face_bad_json(face_server):
+    async with make_client(face_server) as client:
+        r = await client.post("/insert/face", data="{{{")
+        assert await r.text() == "Please check json input\n"
+        r = await client.post("/insert/face", data=json.dumps({"foo": 1}))
+        assert await r.text() == "Cant find field `data` in input!\n"
+
+
+async def test_recognize_empty_gallery_returns_null(face_server, rng):
+    async with make_client(face_server) as client:
+        saved = face_server.gallery
+        face_server.gallery.reset()
+        data, _ = _jpg(rng)
+        r = await client.post("/recognize", data=data)
+        assert await r.text() == "null"
+        await client.get("/reload")
+
+
+async def test_recognize_invalid_image(face_server):
+    async with make_client(face_server) as client:
+        r = await client.post("/recognize", data=b"not an image")
+        assert await r.text() == "null"
+
+
+async def test_delete_endpoints(face_server):
+    async with make_client(face_server) as client:
+        r = await client.get("/delete/user", params={"id": "morty"})
+        assert await r.text() == "Success\n"
+        r = await client.get("/delete/user")
+        assert await r.text() == "Failed\n"
+        r = await client.get("/delete/face", params={"id": "1"})
+        assert await r.text() == "Success\n"
+        await client.get("/reload")
+        assert face_server.gallery.count == 0
+
+
+async def test_inference_ws(face_server, tmp_path, rng):
+    async with make_client(face_server) as client:
+        # enroll one gallery face first
+        data, img = _jpg(rng, hw=(112, 112))
+        path = tmp_path / "w.jpg"
+        path.write_bytes(data)
+        await client.post("/insert/user", data=json.dumps(
+            {"userId": "w", "userName": "W"}))
+        await client.post("/insert/face", data=json.dumps(
+            {"data": [{"userId": "w", "imgPath": str(path)}]}))
+        await client.get("/reload")
+
+        frame_bytes, _ = _jpg(rng, hw=(240, 320))
+        ws = await client.ws_connect("/inference")
+        await ws.send_bytes(frame_bytes)
+        msg = await ws.receive()
+        await ws.close()
+        # random weights may detect 0 faces ("null") or some (json reply)
+        if msg.data != "null":
+            body = json.loads(msg.data)
+            assert set(body) == {"image", "userId", "userName", "similarity",
+                                 "isUnknown"}
+            assert isinstance(body["isUnknown"], bool)
+
+
+async def test_health(face_server):
+    async with make_client(face_server) as client:
+        r = await client.get("/health")
+        body = json.loads(await r.text())
+        assert body["status"] == "ok"

@@ -1,0 +1,112 @@
+"""Gallery search: XLA vs Pallas (interpret mode) vs numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from facekit.gallery import GalleryStore
+from facekit.ops.similarity import cosine_topk_pallas, cosine_topk_xla
+
+
+def _norm_rows(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture()
+def data(rng):
+    gallery = _norm_rows(rng.normal(size=(1000, 512)).astype(np.float32))
+    queries = _norm_rows(rng.normal(size=(5, 512)).astype(np.float32))
+    return gallery, queries
+
+
+def test_xla_topk_matches_numpy(data):
+    gallery, queries = data
+    sims = queries @ gallery.T
+    ref_idx = sims.argmax(1)
+    vals, idx = cosine_topk_xla(jnp.asarray(gallery), jnp.asarray(queries),
+                                jnp.int32(1000), k=1)
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], ref_idx)
+    np.testing.assert_allclose(np.asarray(vals)[:, 0],
+                               sims[np.arange(5), ref_idx], rtol=1e-5)
+
+
+def test_xla_count_masks_padding(data):
+    gallery, queries = data
+    count = 700
+    sims = queries @ gallery[:count].T
+    vals, idx = cosine_topk_xla(jnp.asarray(gallery), jnp.asarray(queries),
+                                jnp.int32(count), k=3)
+    ref_idx = np.argsort(-sims, 1)[:, :3]
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    assert np.asarray(idx).max() < count
+
+
+@pytest.mark.parametrize("k", [1, 4])
+@pytest.mark.parametrize("count,tile", [(1000, 256), (777, 256), (96, 256)])
+def test_pallas_matches_xla(data, k, count, tile):
+    gallery, queries = data
+    g, q = jnp.asarray(gallery), jnp.asarray(queries)
+    ref_v, ref_i = cosine_topk_xla(g, q, jnp.int32(count), k=k)
+    vals, idx = cosine_topk_pallas(g, q, jnp.int32(count), k=k,
+                                   tile_n=tile, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v), rtol=1e-5)
+
+
+def test_pallas_bf16(data):
+    gallery, queries = data
+    g = jnp.asarray(gallery, jnp.bfloat16)
+    q = jnp.asarray(queries, jnp.bfloat16)
+    ref_v, ref_i = cosine_topk_xla(g, q, jnp.int32(1000), k=1)
+    vals, idx = cosine_topk_pallas(g, q, jnp.int32(1000), k=1,
+                                   tile_n=512, interpret=True)
+    # bf16 rounding may flip near-tie argmaxes vs f32; compare scores
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v),
+                               rtol=1e-2, atol=1e-2)
+
+
+class TestGalleryStore:
+    def test_bucketing(self, rng):
+        store = GalleryStore(dtype="float32", use_pallas=False,
+                             buckets=(16, 64, 256))
+        emb = _norm_rows(rng.normal(size=(20, 512)).astype(np.float32))
+        store.load([f"u{i}" for i in range(20)], emb)
+        assert store.capacity == 64
+        assert store.count == 20
+
+        for i in range(50):
+            store.add(f"v{i}", emb[i % 20])
+        assert store.count == 70
+        assert store.capacity == 256
+
+    def test_search_roundtrip(self, rng):
+        store = GalleryStore(dtype="float32", use_pallas=False)
+        emb = _norm_rows(rng.normal(size=(10, 512)).astype(np.float32))
+        store.load([f"user{i}" for i in range(10)], emb)
+        vals, idx, names = store.search(jnp.asarray(emb[3:5]), k=1)
+        assert names[idx[0, 0]] == "user3"
+        assert names[idx[1, 0]] == "user4"
+        np.testing.assert_allclose(vals[:, 0], 1.0, rtol=1e-5)
+
+    def test_search_pallas_interpret(self, rng):
+        store = GalleryStore(dtype="float32", use_pallas=True)
+        emb = _norm_rows(rng.normal(size=(10, 512)).astype(np.float32))
+        store.load([f"user{i}" for i in range(10)], emb)
+        vals, idx, names = store.search(jnp.asarray(emb[:2]), k=1,
+                                        interpret=True)
+        assert names[idx[0, 0]] == "user0"
+
+    def test_empty_gallery_raises(self):
+        store = GalleryStore(use_pallas=False)
+        with pytest.raises(ValueError, match="No faces in database"):
+            store.search(jnp.zeros((1, 512)))
+
+    def test_reset_and_reload(self, rng):
+        store = GalleryStore(dtype="float32", use_pallas=False)
+        emb = _norm_rows(rng.normal(size=(4, 512)).astype(np.float32))
+        store.load(["a", "b", "c", "d"], emb)
+        store.reset()
+        assert store.count == 0
+        store.load(["x"], emb[:1])
+        _, idx, names = store.search(jnp.asarray(emb[:1]), k=1)
+        assert names[idx[0, 0]] == "x"
