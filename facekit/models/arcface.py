@@ -30,6 +30,8 @@ ARCFACE_STAGE_UNITS = {
     "ir_50": (3, 4, 14, 3),
     "ir_101": (3, 13, 30, 3),
     "ir_152": (3, 8, 36, 3),
+    # facekit-only miniature for tests/dryruns (not in the reference family)
+    "ir_tiny": (1, 1, 1, 1),
 }
 _STAGE_DEPTHS = (64, 128, 256, 512)
 
@@ -159,5 +161,6 @@ def arcface_apply(params: Dict[str, Any], x: jnp.ndarray,
     x = L.linear(x, p_out["linear"]["w"], p_out["linear"]["b"])
     x = L.batch_norm(x, p_out["bn1d"])
     x = x.astype(jnp.float32)
-    norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+    # torch F.normalize clamps the denominator at eps=1e-12 (reference :171)
+    norm = jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     return x / norm

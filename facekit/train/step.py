@@ -1,0 +1,93 @@
+"""Sharded ArcFace training step (data-parallel batch x class-parallel head).
+
+Idiomatic jit-with-shardings: the mesh has a "data" axis (batch) and a
+"model" axis (the (C, D) class-center matrix sharded over classes). The
+backbone is replicated; the softmax cross-entropy over sharded classes
+compiles to psum-style collectives inserted by GSPMD — no hand-written
+communication. This is the dryrun_multichip target program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from facekit.models.arcface import arcface_apply, arcface_init
+from facekit.train.arcface_head import arc_margin_logits, head_init
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]        # backbone pytree
+    head: Dict[str, Any]          # {"w": (C, D)}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 0.1, momentum: float = 0.9):
+    return optax.sgd(lr, momentum=momentum)
+
+
+def train_state_init(key, num_classes: int, network: str = "ir_50",
+                     lr: float = 0.1) -> TrainState:
+    k1, k2 = jax.random.split(key)
+    params = arcface_init(k1, network=network)
+    head = head_init(k2, num_classes)
+    tx = make_optimizer(lr)
+    opt_state = tx.init((params, head))
+    return TrainState(params, head, opt_state, jnp.zeros((), jnp.int32))
+
+
+def train_shardings(state: TrainState, mesh: Mesh,
+                    data_axis: str = "data", model_axis: str = "model"):
+    """(state_shardings, batch_shardings): head sharded over classes,
+    backbone + opt replicated, batch over data."""
+    repl = NamedSharding(mesh, P())
+    head_sh = NamedSharding(mesh, P(model_axis, None))
+
+    params_sh = jax.tree.map(lambda _: repl, state.params)
+    head_shs = {"w": head_sh}
+    # optimizer state mirrors the (params, head) tuple structure: momentum
+    # buffers for the head follow the head sharding, everything else is
+    # replicated
+    def _opt_leaf_sharding(path, leaf):
+        return head_sh if any(
+            getattr(p, "key", None) == "w" for p in path) else repl
+
+    opt_sh = jax.tree_util.tree_map_with_path(_opt_leaf_sharding,
+                                              state.opt_state)
+    state_sh = TrainState(params_sh, head_shs, opt_sh, repl)
+    batch_sh = (NamedSharding(mesh, P(data_axis, None, None, None)),
+                NamedSharding(mesh, P(data_axis)))
+    return state_sh, batch_sh
+
+
+def make_train_step(network: str = "ir_50", lr: float = 0.1,
+                    margin: float = 0.5, scale: float = 64.0):
+    tx = make_optimizer(lr)
+
+    def loss_fn(params, head, images, labels):
+        emb = arcface_apply(params, images, network=network,
+                            dtype=jnp.float32)
+        logits = arc_margin_logits(head, emb, labels, margin, scale)
+        losses = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels)
+        return losses.mean()
+
+    @jax.jit
+    def train_step(state: TrainState, images: jnp.ndarray,
+                   labels: jnp.ndarray) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            state.params, state.head, images, labels)
+        updates, new_opt = tx.update(grads, state.opt_state,
+                                     (state.params, state.head))
+        new_params, new_head = optax.apply_updates(
+            (state.params, state.head), updates)
+        return TrainState(new_params, new_head, new_opt,
+                          state.step + 1), loss
+
+    return train_step
