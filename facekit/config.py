@@ -64,6 +64,13 @@ class FaceKitConfig:
     gallery_topk: int = 1
     server_port: int = 18080
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 1, "gallery": 8}
+    # Both search paths run at ~HBM speed-of-light on tile-aligned bucketed
+    # capacities (1M x 512 bf16: pallas 1.42 ms, xla 1.47 ms on one v5e
+    # chip); the Pallas kernel additionally never materializes the (B, N)
+    # similarity matrix, so it is the default. The gallery store's bucket
+    # ladder keeps capacities tile-aligned — never call the pallas path with
+    # a non-aligned N on the hot path (the in-jit pad would copy the whole
+    # gallery per batch).
     use_pallas_search: bool = True
 
     # Unknown/ignored keys from the source JSON, preserved for round-trips.

@@ -59,7 +59,8 @@ def bn_init(channels: int) -> Dict[str, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0,
-           groups: int = 1, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+           groups: int = 1, bias: Optional[jnp.ndarray] = None,
+           dilation: int = 1) -> jnp.ndarray:
     """NHWC conv with HWIO weights, torch-compatible symmetric padding."""
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),
@@ -67,6 +68,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0,
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        rhs_dilation=(dilation, dilation),
         preferred_element_type=jnp.float32,
     )
     if bias is not None:

@@ -1,0 +1,135 @@
+"""ctypes bindings for the native host runtime (facekit/native/host_ops.cpp).
+
+Compiled on first use with g++ (cached as host_ops.so next to the source;
+CMakeLists.txt is provided for standalone builds). All entry points degrade
+gracefully: ``available()`` returns False if no toolchain is present and the
+pure-Python paths remain authoritative.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "host_ops.cpp")
+_SO = os.path.join(_DIR, "host_ops.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
+           "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            _failed = True
+            return None
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int)
+        lib.fk_resize_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, f32p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.fk_letterbox_det.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                         f32p, ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_float, ctypes.c_float,
+                                         ctypes.c_float]
+        lib.fk_nms.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_float,
+                               ctypes.c_int, i32p]
+        lib.fk_nms.restype = ctypes.c_int
+        lib.fk_gallery_top1.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                        f32p, ctypes.c_int, f32p, i32p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _f32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _u8(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def resize_u8(img: np.ndarray, out_hw: Tuple[int, int],
+              method: str = "linear", saturate: bool = True) -> np.ndarray:
+    """uint8 (H, W, C) -> float32 (oh, ow, C), OpenCV-semantics resample."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    oh, ow = out_hw
+    out = np.empty((oh, ow, c), np.float32)
+    lib.fk_resize_u8(_u8(img), h, w, c, _f32(out), oh, ow,
+                     1 if method == "cubic" else 0, 1 if saturate else 0)
+    return out
+
+
+def letterbox_det(frame: np.ndarray, target_hw: Tuple[int, int],
+                  mean=(104.0, 117.0, 123.0)) -> np.ndarray:
+    """uint8 BGR frame -> normalized f32 detector input (fused on host)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    frame = np.ascontiguousarray(frame, np.uint8)
+    fh, fw, _ = frame.shape
+    th, tw = target_hw
+    out = np.empty((th, tw, 3), np.float32)
+    lib.fk_letterbox_det(_u8(frame), fh, fw, _f32(out), th, tw,
+                         mean[0], mean[1], mean[2])
+    return out
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float,
+        max_out: int = 128) -> np.ndarray:
+    """Greedy NMS; returns indices of kept boxes in descending score order."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    out = np.empty((min(max_out, len(scores)),), np.int32)
+    n = lib.fk_nms(_f32(boxes), _f32(scores), len(scores),
+                   iou_threshold, len(out), _i32(out))
+    return out[:n]
+
+
+def gallery_top1(gallery: np.ndarray, queries: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """CPU fallback search: (scores (B,), indices (B,))."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    gallery = np.ascontiguousarray(gallery, np.float32)
+    queries = np.ascontiguousarray(queries, np.float32)
+    n, d = gallery.shape
+    b = queries.shape[0]
+    scores = np.empty((b,), np.float32)
+    idx = np.empty((b,), np.int32)
+    lib.fk_gallery_top1(_f32(gallery), n, d, _f32(queries), b,
+                        _f32(scores), _i32(idx))
+    return scores, idx

@@ -77,6 +77,55 @@ def _recognize_frame(det_params, rec_params, frame, *, frame_hw, det_hw,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("frame_hw", "det_hw", "rec_hw", "max_faces",
+                     "score_thr", "iou_thr", "use_landmarks", "align",
+                     "rec_network", "dtype"))
+def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
+                      rec_hw, max_faces, score_thr, iou_thr, use_landmarks,
+                      align, rec_network, dtype):
+    """Batched variant: (N, H, W, 3) frames -> FrameResult with leading N.
+
+    The throughput path: detector runs batch-N, all N*max_faces crops embed
+    in ONE ArcFace call. Replaces the reference's batch path
+    (src/arcface.cpp:174-186, which loops host-side and has the offset bug
+    noted in SURVEY.md §2).
+    """
+    n = frames.shape[0]
+    frames = frames.astype(jnp.float32)
+    x = det_normalize(letterbox(frames, det_hw))
+    out = retinaface_apply(det_params, x, dtype=dtype)
+    if use_landmarks:
+        loc, conf, ldm = out
+    else:
+        (loc, conf), ldm = out, None
+    anchors = generate_anchors(det_hw)
+
+    def post(loc1, conf1, ldm1=None):
+        return select_faces(loc1, conf1, anchors, frame_hw, det_hw,
+                            max_faces=max_faces, score_threshold=score_thr,
+                            iou_threshold=iou_thr, ldm=ldm1)
+
+    if ldm is not None:
+        det = jax.vmap(post)(loc, conf, ldm)
+    else:
+        det = jax.vmap(post)(loc, conf)
+
+    if align and use_landmarks:
+        faces = jax.vmap(lambda f, lm: warp_align(f, lm, rec_hw))(
+            frames, det.landmarks)
+    else:
+        faces = jax.vmap(lambda f, b: crop_resize(f, b, rec_hw, "cubic"))(
+            frames, det.boxes)
+    flat = faces.reshape(n * max_faces, *faces.shape[2:])
+    emb = arcface_apply(rec_params, rec_normalize(flat), network=rec_network,
+                        dtype=dtype)
+    emb = emb.reshape(n, max_faces, -1)
+    return FrameResult(det.boxes, det.scores, det.valid, emb, det.landmarks,
+                       None)
+
+
+@functools.partial(
     jax.jit, static_argnames=("rec_hw", "rec_network", "dtype"))
 def _embed_cropped(rec_params, img, *, rec_hw, rec_network, dtype):
     """(H, W, 3) BGR already-cropped face -> (512,). Resizes if needed on
@@ -123,6 +172,17 @@ class FacePipeline:
             use_landmarks=self.use_landmarks, align=self.align,
             rec_network=cfg.rec_network, dtype=self.dtype,
             return_crops=return_crops)
+
+    def recognize_frames(self, frames_bgr: np.ndarray) -> FrameResult:
+        """Batched throughput path: (N, frameH, frameW, 3) BGR frames."""
+        cfg = self.config
+        return _recognize_frames(
+            self.det_params, self.rec_params, jnp.asarray(frames_bgr),
+            frame_hw=cfg.frame_hw, det_hw=cfg.det_hw, rec_hw=cfg.rec_hw,
+            max_faces=cfg.det_maxFacesPerScene,
+            score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
+            use_landmarks=self.use_landmarks, align=self.align,
+            rec_network=cfg.rec_network, dtype=self.dtype)
 
     def embed_cropped(self, img_bgr: np.ndarray) -> np.ndarray:
         """Embed an already-cropped face image (any size; device-resized)."""

@@ -78,6 +78,8 @@ class FaceServer:
         self.reload_gallery()
         # one worker: device programs serialize on the chip anyway
         self.executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        from facekit.utils import LatencyTracker
+        self.metrics = LatencyTracker()
         if warmup:
             self.pipeline.warmup()
 
@@ -259,7 +261,8 @@ def make_app(server: FaceServer):
 
     async def recognize(request):
         data = await request.read()
-        retval = await run_blocking(_recognize_sync, data)
+        with server.metrics.time("recognize"):
+            retval = await run_blocking(_recognize_sync, data)
         if retval is None:
             return web.Response(text="null",
                                 content_type="application/json")
@@ -308,7 +311,9 @@ def make_app(server: FaceServer):
             if msg.type in (WSMsgType.BINARY, WSMsgType.TEXT):
                 data = (msg.data if isinstance(msg.data, (bytes, bytearray))
                         else msg.data.encode("latin-1"))
-                retval = await run_blocking(_inference_sync, data)
+                with server.metrics.time(
+                        "inference", count=cfg.det_maxFacesPerScene):
+                    retval = await run_blocking(_inference_sync, data)
                 if retval is None:
                     await ws.send_str("null")
                 else:
@@ -332,7 +337,11 @@ def make_app(server: FaceServer):
             "users": len(server.user_dict),
         })
 
+    async def metrics(request):
+        return web.json_response(server.metrics.snapshot())
+
     app = web.Application(client_max_size=64 * 1024 * 1024)
+    app.router.add_get("/metrics", metrics)
     app.router.add_post("/insert/user", insert_user)
     app.router.add_post("/insert/face", insert_face)
     app.router.add_get("/delete/user", delete_user)

@@ -165,3 +165,68 @@ def convert_retinaface_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
         params["ldm_head"] = [_head_unit(sd, f"LandmarkHead.{i}")
                               for i in range(3)]
     return params
+
+
+# ---------------------------------------------------------------------------
+# Slim / RFB light detectors (conversion/retina/models/net_slim.py, net_rfb.py)
+# ---------------------------------------------------------------------------
+
+def _biased_conv(sd, prefix):
+    return {"w": _conv(sd, prefix + ".weight"),
+            "b": jnp.asarray(_np(sd[prefix + ".bias"]))}
+
+
+def _depth_conv2d_unit(sd, prefix):
+    """depth_conv2d Sequential: .0 biased dw conv, .1 ReLU, .2 biased 1x1."""
+    return {
+        "dw_w": _conv(sd, prefix + ".0.weight"),
+        "dw_b": jnp.asarray(_np(sd[prefix + ".0.bias"])),
+        "pw_w": _conv(sd, prefix + ".2.weight"),
+        "pw_b": jnp.asarray(_np(sd[prefix + ".2.bias"])),
+    }
+
+
+def _basic_conv_unit(sd, prefix):
+    p = {"w": _conv(sd, prefix + ".conv.weight")}
+    if prefix + ".bn.weight" in sd:
+        p["bn"] = _bn(sd, prefix + ".bn")
+    else:
+        p["b"] = jnp.asarray(_np(sd[prefix + ".conv.bias"]))
+    return p
+
+
+def convert_lightdet_state_dict(sd: Mapping[str, Any],
+                                variant: str = "slim") -> Dict[str, Any]:
+    from facekit.models.lightdet import _DW_CHAIN
+
+    params: Dict[str, Any] = {
+        "conv1": _conv_bn_unit(sd, "conv1"),
+        "dw": [],
+        "conv14_a": _biased_conv(sd, "conv14.0"),
+        "conv14_b": _depth_conv2d_unit(sd, "conv14.2"),
+    }
+    for i in range(len(_DW_CHAIN)):            # conv2..conv13
+        name = f"conv{i + 2}"
+        if variant == "rfb" and i == 6:
+            params["dw"].append(None)
+            params["rfb8"] = {
+                "b0": [_basic_conv_unit(sd, f"conv8.branch0.{j}")
+                       for j in range(3)],
+                "b1": [_basic_conv_unit(sd, f"conv8.branch1.{j}")
+                       for j in range(3)],
+                "b2": [_basic_conv_unit(sd, f"conv8.branch2.{j}")
+                       for j in range(4)],
+                "linear": _basic_conv_unit(sd, "conv8.ConvLinear"),
+                "shortcut": _basic_conv_unit(sd, "conv8.shortcut"),
+            }
+        else:
+            params["dw"].append(_conv_dw_unit(sd, name))
+    for name in ("loc", "conf", "landm"):
+        heads = []
+        for lvl in range(4):
+            if lvl < 3:
+                heads.append(_depth_conv2d_unit(sd, f"{name}.{lvl}"))
+            else:
+                heads.append(_biased_conv(sd, f"{name}.{lvl}"))
+        params[name] = heads
+    return params

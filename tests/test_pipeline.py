@@ -62,3 +62,17 @@ def test_no_landmark_pipeline(rng):
     res = pipe.recognize_frame(frame)
     assert res.landmarks is None
     assert res.embeddings.shape == (4, 512)
+
+
+def test_recognize_frames_batched_matches_single(pipeline, rng):
+    frames = rng.integers(0, 256, size=(3, 240, 320, 3), dtype=np.uint8)
+    batched = pipeline.recognize_frames(frames)
+    assert batched.embeddings.shape == (3, 4, 512)
+    assert batched.boxes.shape == (3, 4, 4)
+    for i in range(3):
+        single = pipeline.recognize_frame(frames[i])
+        np.testing.assert_allclose(np.asarray(batched.boxes[i]),
+                                   np.asarray(single.boxes), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(batched.embeddings[i]),
+                                   np.asarray(single.embeddings),
+                                   atol=1e-4, rtol=1e-4)

@@ -155,3 +155,18 @@ async def test_health(face_server):
         r = await client.get("/health")
         body = json.loads(await r.text())
         assert body["status"] == "ok"
+
+
+def test_visualize_overlay(rng):
+    from facekit.server.visualize import draw_results
+    frame = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
+    boxes = np.array([[10, 10, 100, 120], [150, 30, 250, 180]], np.float32)
+    out = draw_results(frame, boxes, ["alice", "bob"], [0.9, 0.3],
+                       known_threshold=0.65,
+                       valid=np.array([True, True]))
+    assert out.shape == frame.shape
+    assert (out != frame).any()          # something was drawn
+    # invalid slots are skipped
+    out2 = draw_results(frame, boxes, ["a", "b"], [0.9, 0.3],
+                        valid=np.array([False, False]))
+    np.testing.assert_array_equal(out2, frame)
