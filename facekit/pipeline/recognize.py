@@ -80,10 +80,10 @@ def _recognize_frame(det_params, rec_params, frame, *, frame_hw, det_hw,
     jax.jit,
     static_argnames=("frame_hw", "det_hw", "rec_hw", "max_faces",
                      "score_thr", "iou_thr", "use_landmarks", "align",
-                     "rec_network", "dtype"))
+                     "rec_network", "dtype", "return_crops"))
 def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
                       rec_hw, max_faces, score_thr, iou_thr, use_landmarks,
-                      align, rec_network, dtype):
+                      align, rec_network, dtype, return_crops=False):
     """Batched variant: (N, H, W, 3) frames -> FrameResult with leading N.
 
     The throughput path: detector runs batch-N, all N*max_faces crops embed
@@ -122,7 +122,7 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
                         dtype=dtype)
     emb = emb.reshape(n, max_faces, -1)
     return FrameResult(det.boxes, det.scores, det.valid, emb, det.landmarks,
-                       None)
+                       faces if return_crops else None)
 
 
 @functools.partial(
@@ -173,7 +173,8 @@ class FacePipeline:
             rec_network=cfg.rec_network, dtype=self.dtype,
             return_crops=return_crops)
 
-    def recognize_frames(self, frames_bgr: np.ndarray) -> FrameResult:
+    def recognize_frames(self, frames_bgr: np.ndarray,
+                         return_crops: bool = False) -> FrameResult:
         """Batched throughput path: (N, frameH, frameW, 3) BGR frames."""
         cfg = self.config
         return _recognize_frames(
@@ -182,7 +183,8 @@ class FacePipeline:
             max_faces=cfg.det_maxFacesPerScene,
             score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
             use_landmarks=self.use_landmarks, align=self.align,
-            rec_network=cfg.rec_network, dtype=self.dtype)
+            rec_network=cfg.rec_network, dtype=self.dtype,
+            return_crops=return_crops)
 
     def embed_cropped(self, img_bgr: np.ndarray) -> np.ndarray:
         """Embed an already-cropped face image (any size; device-resized)."""
@@ -190,6 +192,15 @@ class FacePipeline:
                              rec_hw=self.config.rec_hw,
                              rec_network=self.config.rec_network,
                              dtype=self.dtype)
+        return np.asarray(emb)
+
+    def embed_cropped_batch(self, imgs_bgr: np.ndarray) -> np.ndarray:
+        """(N, rec_h, rec_w, 3) BGR pre-resized crops -> (N, 512)."""
+        emb = arcface_apply(self.rec_params,
+                            rec_normalize(jnp.asarray(imgs_bgr,
+                                                      jnp.float32)),
+                            network=self.config.rec_network,
+                            dtype=self.dtype)
         return np.asarray(emb)
 
     def warmup(self) -> None:

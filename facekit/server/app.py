@@ -80,8 +80,18 @@ class FaceServer:
         self.executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         from facekit.utils import LatencyTracker
         self.metrics = LatencyTracker()
+        # micro-batching knobs (facekit extension; see server/batcher.py)
+        self.batch_size = int(config.extras.get("server_batchSize", 8))
+        self.batch_wait_ms = float(config.extras.get("server_batchWaitMs", 3.0))
         if warmup:
             self.pipeline.warmup()
+            fh, fw = config.frame_hw
+            self.pipeline.recognize_frames(
+                np.zeros((self.batch_size, fh, fw, 3), np.uint8),
+                return_crops=True)
+            rh, rw = config.rec_hw
+            self.pipeline.embed_cropped_batch(
+                np.zeros((self.batch_size, rh, rw, 3), np.uint8))
 
     # -- gallery management (reference /reload, src/app.cpp:354-365) ---------
 
@@ -242,66 +252,94 @@ def make_app(server: FaceServer):
         return web.Response(text="Success\n")
 
     # -- POST /recognize (src/app.cpp:243-287) --------------------------------
-    def _recognize_sync(data: bytes) -> Optional[dict]:
-        arr = np.frombuffer(data, np.uint8)
-        frame = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
-        if frame is None:
-            return None
-        if frame.ndim == 2:
-            frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)
-        # the reference embeds the WHOLE image, no detection (:255-267)
-        emb = server.pipeline.embed_cropped(frame)
+    # Concurrent requests are micro-batched: one ArcFace call + one gallery
+    # search for up to server_batchSize crops (facekit extension; the
+    # per-request semantics are unchanged).
+    from facekit.server.batcher import MicroBatcher
+
+    bsz = server.batch_size
+
+    def _pad_stack(items, template=None):
+        base = items[0] if template is None else template
+        pad = [np.zeros_like(base)] * (bsz - len(items))
+        return np.stack(list(items) + pad)
+
+    def _recognize_batch(crops):
+        n = len(crops)
+        embs = server.pipeline.embed_cropped_batch(_pad_stack(crops))[:n]
         try:
-            vals, idx, names = server.gallery.search(emb[None].astype(np.float32))
+            vals, idx, names = server.gallery.search(embs.astype(np.float32))
         except ValueError as e:
             log.warning("Exception: %s", e)
-            return None
-        return {"userId": names[int(idx[0, 0])],
-                "similarity": float(vals[0, 0])}
+            return [None] * n
+        return [{"userId": names[int(idx[i, 0])],
+                 "similarity": float(vals[i, 0])} for i in range(n)]
+
+    recognize_batcher = MicroBatcher(_recognize_batch, server.executor,
+                                     bsz, server.batch_wait_ms)
+    rh, rw = cfg.rec_hw
 
     async def recognize(request):
         data = await request.read()
         with server.metrics.time("recognize"):
-            retval = await run_blocking(_recognize_sync, data)
+            arr = np.frombuffer(data, np.uint8)
+            frame = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
+            retval = None
+            if frame is not None:
+                if frame.ndim == 2:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)
+                # the reference embeds the WHOLE image, no detection
+                # (:255-267), host-resizing to the recognizer input first
+                if frame.shape[:2] != (rh, rw):
+                    frame = cv2.resize(frame, (rw, rh))
+                retval = await recognize_batcher.submit(frame)
         if retval is None:
             return web.Response(text="null",
                                 content_type="application/json")
         return web.json_response(retval)
 
     # -- WS /inference (src/app.cpp:289-352) ----------------------------------
-    def _inference_sync(data: bytes) -> Optional[dict]:
-        arr = np.frombuffer(data, np.uint8)
-        raw = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
-        if raw is None:
-            return None
-        if raw.ndim == 2:
-            raw = cv2.cvtColor(raw, cv2.COLOR_GRAY2BGR)
-        frame = cv2.resize(raw, (cfg.input_frameWidth, cfg.input_frameHeight))
-        res = server.pipeline.recognize_frame(frame, return_crops=True)
-        valid = np.asarray(res.valid)
-        if valid.sum() < 1:
-            return None
-        emb = np.asarray(res.embeddings)[valid]
-        crops = np.asarray(res.crops)[valid]
+    # Micro-batched: up to server_batchSize frames go through ONE fused
+    # recognize_frames program and ONE gallery search for all their faces.
+    def _inference_batch(frames):
+        n = len(frames)
+        res = server.pipeline.recognize_frames(_pad_stack(frames),
+                                               return_crops=True)
+        valid = np.asarray(res.valid)[:n]
+        emb = np.asarray(res.embeddings)[:n]
+        crops = np.asarray(res.crops)[:n]
+        f = emb.shape[1]
         try:
-            vals, idx, names = server.gallery.search(emb.astype(np.float32))
+            vals, idx, names = server.gallery.search(
+                emb.reshape(n * f, -1).astype(np.float32))
         except ValueError as e:
             log.warning("Exception: %s", e)
-            return None
-        sims = vals[:, 0]
-        best = int(sims.argmax())
-        user_id = names[int(idx[best, 0])]
-        sim = float(sims[best])
-        crop_u8 = np.clip(crops[best], 0, 255).astype(np.uint8)
-        ok, buf = cv2.imencode(".jpg", crop_u8)
-        encoded = base64.b64encode(buf.tobytes()).decode() if ok else ""
-        return {
-            "image": encoded,
-            "userId": user_id,
-            "userName": server.user_dict.get(user_id, ""),
-            "similarity": sim,
-            "isUnknown": sim < cfg.rec_knownPersonThreshold,
-        }
+            return [None] * n
+        vals = vals[:, 0].reshape(n, f)
+        idx = idx[:, 0].reshape(n, f)
+        outs = []
+        for i in range(n):
+            if not valid[i].any():
+                outs.append(None)
+                continue
+            sims = np.where(valid[i], vals[i], -np.inf)
+            best = int(sims.argmax())
+            user_id = names[int(idx[i, best])]
+            sim = float(vals[i, best])
+            crop_u8 = np.clip(crops[i, best], 0, 255).astype(np.uint8)
+            ok, buf = cv2.imencode(".jpg", crop_u8)
+            encoded = base64.b64encode(buf.tobytes()).decode() if ok else ""
+            outs.append({
+                "image": encoded,
+                "userId": user_id,
+                "userName": server.user_dict.get(user_id, ""),
+                "similarity": sim,
+                "isUnknown": sim < cfg.rec_knownPersonThreshold,
+            })
+        return outs
+
+    inference_batcher = MicroBatcher(_inference_batch, server.executor,
+                                     bsz, server.batch_wait_ms)
 
     async def inference(request):
         ws = web.WebSocketResponse()
@@ -313,7 +351,15 @@ def make_app(server: FaceServer):
                         else msg.data.encode("latin-1"))
                 with server.metrics.time(
                         "inference", count=cfg.det_maxFacesPerScene):
-                    retval = await run_blocking(_inference_sync, data)
+                    raw = cv2.imdecode(np.frombuffer(data, np.uint8),
+                                       cv2.IMREAD_UNCHANGED)
+                    retval = None
+                    if raw is not None:
+                        if raw.ndim == 2:
+                            raw = cv2.cvtColor(raw, cv2.COLOR_GRAY2BGR)
+                        frame = cv2.resize(raw, (cfg.input_frameWidth,
+                                                 cfg.input_frameHeight))
+                        retval = await inference_batcher.submit(frame)
                 if retval is None:
                     await ws.send_str("null")
                 else:

@@ -1,0 +1,72 @@
+"""Async micro-batcher: aggregate concurrent requests into one device call.
+
+The reference serves each HTTP request with its own batch-1 engine call
+(and races on shared buffers while doing it — SURVEY.md §2.12). On TPU the
+economics invert: one batch-8 fused program is ~3x cheaper per face than
+eight batch-1 dispatches (see bench.py), so the server funnels concurrent
+requests through this batcher: requests wait up to ``max_wait_ms`` for
+companions, then the batch runs on the single device executor thread.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+from typing import Any, Callable, List, Optional
+
+
+class MicroBatcher:
+    """Batches ``submit()`` items into ``fn_batch(list) -> list`` calls.
+
+    ``fn_batch`` runs in ``executor`` (the device thread). Items must be
+    batchable by the callee (same static shape). Safe across concurrent
+    asyncio tasks; one flusher task per event loop.
+    """
+
+    def __init__(self, fn_batch: Callable[[List[Any]], List[Any]],
+                 executor, max_batch: int = 8, max_wait_ms: float = 3.0):
+        self.fn_batch = fn_batch
+        self.executor = executor
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._pending: List[tuple] = []
+        self._lock = threading.Lock()
+        self._flush_scheduled = False
+
+    async def submit(self, item: Any) -> Any:
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        run_now: Optional[List[tuple]] = None
+        with self._lock:
+            self._pending.append((item, fut))
+            if len(self._pending) >= self.max_batch:
+                run_now = self._pending
+                self._pending = []
+            elif not self._flush_scheduled:
+                self._flush_scheduled = True
+                loop.call_later(self.max_wait, self._flush_cb, loop)
+        if run_now is not None:
+            await self._run(run_now)
+        return await fut
+
+    def _flush_cb(self, loop) -> None:
+        with self._lock:
+            self._flush_scheduled = False
+            batch = self._pending
+            self._pending = []
+        if batch:
+            loop.create_task(self._run(batch))
+
+    async def _run(self, batch: List[tuple]) -> None:
+        items = [b[0] for b in batch]
+        loop = asyncio.get_running_loop()
+        try:
+            outs = await loop.run_in_executor(
+                self.executor, self.fn_batch, items)
+            for (_, fut), out in zip(batch, outs):
+                if not fut.done():
+                    fut.set_result(out)
+        except Exception as e:  # propagate to every waiter
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)

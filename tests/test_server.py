@@ -170,3 +170,30 @@ def test_visualize_overlay(rng):
     out2 = draw_results(frame, boxes, ["a", "b"], [0.9, 0.3],
                         valid=np.array([False, False]))
     np.testing.assert_array_equal(out2, frame)
+
+
+async def test_concurrent_recognize_batching(face_server, tmp_path, rng):
+    """Concurrent /recognize requests micro-batch and all answer correctly."""
+    import asyncio
+    async with make_client(face_server) as client:
+        # enroll 4 users with distinct random faces
+        datas = {}
+        for name in ("u1", "u2", "u3", "u4"):
+            data, _ = _jpg(rng, hw=(112, 112))
+            p = tmp_path / f"{name}.jpg"
+            p.write_bytes(data)
+            datas[name] = data
+            await client.post("/insert/user", data=json.dumps(
+                {"userId": name, "userName": name.upper()}))
+            await client.post("/insert/face", data=json.dumps(
+                {"data": [{"userId": name, "imgPath": str(p)}]}))
+        await client.get("/reload")
+
+        async def ask(name):
+            r = await client.post("/recognize", data=datas[name])
+            return name, json.loads(await r.text())
+
+        results = await asyncio.gather(*[ask(n) for n in datas] * 2)
+        for name, body in results:
+            assert body["userId"] == name, (name, body)
+            assert body["similarity"] > 0.9
