@@ -42,12 +42,18 @@ class GalleryStore:
     def __init__(self, embed_dim: int = 512,
                  buckets: Sequence[int] = (1024, 8192, 65536, 1 << 20),
                  dtype: str = "bfloat16", use_pallas: bool = True,
-                 device=None):
+                 device=None, mesh=None, mesh_axis: str = "gallery"):
+        """``mesh``: optional jax Mesh — the gallery is then row-sharded over
+        ``mesh_axis`` and searched with the cross-shard kernel
+        (facekit.parallel.sharded_search); capacities stay multiples of the
+        shard count via the bucket ladder."""
         self.embed_dim = embed_dim
         self.buckets = tuple(buckets)
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.use_pallas = use_pallas
         self.device = device
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self._lock = threading.Lock()
         self._names: List[str] = []
         self._host = np.zeros((0, embed_dim), np.float32)
@@ -75,7 +81,10 @@ class GalleryStore:
         if n:
             arr[:n] = self._host[:n]
         dev = jnp.asarray(arr, dtype=self.dtype)
-        if self.device is not None:
+        if self.mesh is not None:
+            from facekit.parallel.sharded_search import shard_gallery
+            dev = shard_gallery(dev, self.mesh, self.mesh_axis)
+        elif self.device is not None:
             dev = jax.device_put(dev, self.device)
         self._device_arr = dev
 
@@ -123,7 +132,13 @@ class GalleryStore:
                 "Feature matching: No faces in database")  # reference msg
         queries = queries.astype(self.dtype)
         kk = min(k, count)
-        if self.use_pallas:
+        if self.mesh is not None:
+            from facekit.parallel.sharded_search import sharded_cosine_topk
+            vals, idx = sharded_cosine_topk(
+                arr, queries, jnp.int32(count), k=kk, mesh=self.mesh,
+                axis=self.mesh_axis, use_pallas=self.use_pallas,
+                interpret=interpret)
+        elif self.use_pallas:
             vals, idx = cosine_topk_pallas(arr, queries,
                                            jnp.int32(count), k=kk,
                                            interpret=interpret)

@@ -69,11 +69,16 @@ class FaceServer:
 
         self.pipeline = FacePipeline(config, det_params, rec_params)
         self.db = Database(config.database_path, config.rec_outputDim)
+        mesh = None
+        if config.mesh_shape:  # multi-chip gallery sharding over ICI
+            from facekit.parallel import make_mesh
+            mesh = make_mesh(dict(config.mesh_shape))
         self.gallery = GalleryStore(
             embed_dim=config.rec_outputDim,
             buckets=config.gallery_bucket_sizes,
             dtype=config.gallery_dtype,
-            use_pallas=config.use_pallas_search and _on_tpu())
+            use_pallas=config.use_pallas_search and _on_tpu(),
+            mesh=mesh)
         self.user_dict: Dict[str, str] = self.db.get_user_dict()
         self.reload_gallery()
         # one worker: device programs serialize on the chip anyway

@@ -123,3 +123,27 @@ def test_retinaface_trim_parity(reference_dir, rng):
                                atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(conf), ref_conf.numpy(),
                                atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("ctor,network", [
+    ("IR_SE_50", "ir_se_50"),
+    ("IR_101", "ir_101"),
+])
+def test_arcface_variant_parity(reference_dir, rng, ctor, network):
+    """SE and deeper variants of the reference family (model_irse.py:193-238)."""
+    mod = oracles.load_arcface_oracle()
+    torch.manual_seed(7)
+    model = getattr(mod, ctor)([112, 112]).eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    x = rng.normal(0, 1, size=(1, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()
+    params = convert_arcface_state_dict(model.state_dict(), network)
+    ours = np.asarray(arcface_apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)), network=network))
+    cos = (ours * ref).sum(-1)
+    assert (1 - cos).max() < 1e-5, f"cosine distance {(1 - cos).max()}"

@@ -92,3 +92,18 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree.leaves(state.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_gallery_store_mesh_backed(mesh8, rng):
+    """GalleryStore with a mesh: rows sharded, search matches single-device."""
+    from facekit.gallery import GalleryStore
+    store = GalleryStore(dtype="float32", use_pallas=False, mesh=mesh8)
+    emb = rng.normal(size=(100, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    store.load([f"u{i}" for i in range(100)], emb)
+    # capacity divisible by shard count, array actually sharded
+    assert store.capacity % 8 == 0
+    assert len(store._device_arr.sharding.device_set) == 8
+    vals, idx, names = store.search(jnp.asarray(emb[10:13]), k=1)
+    assert [names[i] for i in idx[:, 0]] == ["u10", "u11", "u12"]
+    np.testing.assert_allclose(vals[:, 0], 1.0, rtol=1e-5)
