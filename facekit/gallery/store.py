@@ -116,6 +116,12 @@ class GalleryStore:
 
     # -- search ---------------------------------------------------------------
 
+    def snapshot(self):
+        """(device_array, count, names) consistent snapshot, for callers
+        that fuse the search into a larger jitted program."""
+        with self._lock:
+            return self._device_arr, len(self._names), list(self._names)
+
     def search(self, queries: jnp.ndarray, k: int = 1,
                interpret: bool = False) -> Tuple[np.ndarray, np.ndarray, List[str]]:
         """(B, D) queries -> (scores (B, k), indices (B, k), names).

@@ -126,6 +126,58 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("frame_hw", "det_hw", "rec_hw", "max_faces",
+                     "score_thr", "iou_thr", "use_landmarks", "align",
+                     "rec_network", "dtype", "return_crops", "k",
+                     "use_pallas"))
+def _recognize_and_match(det_params, rec_params, gallery, count, frames, *,
+                         frame_hw, det_hw, rec_hw, max_faces, score_thr,
+                         iou_thr, use_landmarks, align, rec_network, dtype,
+                         return_crops, k, use_pallas):
+    """Single-dispatch serving program: frames -> detections + identities.
+
+    Fuses the gallery search into the recognize program so embeddings never
+    round-trip to the host between stages (the reference bounces
+    m_embeds through host memory between forward() and featureMatching(),
+    src/arcface.cpp:166-201). Returns (FrameResult, sims (N, F, k),
+    indices (N, F, k)).
+    """
+    from facekit.ops.similarity import cosine_topk_pallas, cosine_topk_xla
+
+    res = _recognize_frames(
+        det_params, rec_params, frames, frame_hw=frame_hw, det_hw=det_hw,
+        rec_hw=rec_hw, max_faces=max_faces, score_thr=score_thr,
+        iou_thr=iou_thr, use_landmarks=use_landmarks, align=align,
+        rec_network=rec_network, dtype=dtype, return_crops=return_crops)
+    n, f, d = res.embeddings.shape
+    flat = res.embeddings.reshape(n * f, d).astype(gallery.dtype)
+    if use_pallas:
+        vals, idx = cosine_topk_pallas(gallery, flat, count, k=k)
+    else:
+        vals, idx = cosine_topk_xla(gallery, flat, count, k=k)
+    return res, vals.reshape(n, f, k), idx.reshape(n, f, k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rec_network", "dtype", "k", "use_pallas"))
+def _embed_and_match(rec_params, gallery, count, imgs, *, rec_network,
+                     dtype, k, use_pallas):
+    """Single-dispatch /recognize batch: pre-resized crops -> identities."""
+    from facekit.ops.similarity import cosine_topk_pallas, cosine_topk_xla
+
+    emb = arcface_apply(rec_params, rec_normalize(imgs.astype(jnp.float32)),
+                        network=rec_network, dtype=dtype)
+    q = emb.astype(gallery.dtype)
+    if use_pallas:
+        vals, idx = cosine_topk_pallas(gallery, q, count, k=k)
+    else:
+        vals, idx = cosine_topk_xla(gallery, q, count, k=k)
+    return emb, vals, idx
+
+
+@functools.partial(
     jax.jit, static_argnames=("rec_hw", "rec_network", "dtype"))
 def _embed_cropped(rec_params, img, *, rec_hw, rec_network, dtype):
     """(H, W, 3) BGR already-cropped face -> (512,). Resizes if needed on
@@ -185,6 +237,29 @@ class FacePipeline:
             use_landmarks=self.use_landmarks, align=self.align,
             rec_network=cfg.rec_network, dtype=self.dtype,
             return_crops=return_crops)
+
+    def recognize_and_match(self, frames_bgr: np.ndarray, gallery_arr,
+                            count: int, k: int = 1, use_pallas: bool = False,
+                            return_crops: bool = False):
+        """One dispatch: batched frames -> (FrameResult, sims, gallery idx)."""
+        cfg = self.config
+        return _recognize_and_match(
+            self.det_params, self.rec_params, gallery_arr,
+            jnp.int32(count), jnp.asarray(frames_bgr),
+            frame_hw=cfg.frame_hw, det_hw=cfg.det_hw, rec_hw=cfg.rec_hw,
+            max_faces=cfg.det_maxFacesPerScene,
+            score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
+            use_landmarks=self.use_landmarks, align=self.align,
+            rec_network=cfg.rec_network, dtype=self.dtype,
+            return_crops=return_crops, k=k, use_pallas=use_pallas)
+
+    def embed_and_match(self, imgs_bgr: np.ndarray, gallery_arr, count: int,
+                        k: int = 1, use_pallas: bool = False):
+        """One dispatch: (N, rec_h, rec_w, 3) crops -> (emb, sims, idx)."""
+        return _embed_and_match(
+            self.rec_params, gallery_arr, jnp.int32(count),
+            jnp.asarray(imgs_bgr), rec_network=self.config.rec_network,
+            dtype=self.dtype, k=k, use_pallas=use_pallas)
 
     def embed_cropped(self, img_bgr: np.ndarray) -> np.ndarray:
         """Embed an already-cropped face image (any size; device-resized)."""

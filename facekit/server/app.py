@@ -90,13 +90,18 @@ class FaceServer:
         self.batch_wait_ms = float(config.extras.get("server_batchWaitMs", 3.0))
         if warmup:
             self.pipeline.warmup()
+            # compile the fused serving programs against the current
+            # gallery bucket (recompiles only when the bucket grows)
+            garr, count, _ = self.gallery.snapshot()
             fh, fw = config.frame_hw
-            self.pipeline.recognize_frames(
-                np.zeros((self.batch_size, fh, fw, 3), np.uint8),
-                return_crops=True)
             rh, rw = config.rec_hw
-            self.pipeline.embed_cropped_batch(
-                np.zeros((self.batch_size, rh, rw, 3), np.uint8))
+            self.pipeline.recognize_and_match(
+                np.zeros((self.batch_size, fh, fw, 3), np.uint8),
+                garr, max(count, 1), use_pallas=self.gallery.use_pallas,
+                return_crops=True)
+            self.pipeline.embed_and_match(
+                np.zeros((self.batch_size, rh, rw, 3), np.uint8),
+                garr, max(count, 1), use_pallas=self.gallery.use_pallas)
 
     # -- gallery management (reference /reload, src/app.cpp:354-365) ---------
 
@@ -271,12 +276,14 @@ def make_app(server: FaceServer):
 
     def _recognize_batch(crops):
         n = len(crops)
-        embs = server.pipeline.embed_cropped_batch(_pad_stack(crops))[:n]
-        try:
-            vals, idx, names = server.gallery.search(embs.astype(np.float32))
-        except ValueError as e:
-            log.warning("Exception: %s", e)
+        garr, count, names = server.gallery.snapshot()
+        if count == 0:
+            log.warning("Feature matching: No faces in database")
             return [None] * n
+        _, vals, idx = server.pipeline.embed_and_match(
+            _pad_stack(crops), garr, count,
+            use_pallas=server.gallery.use_pallas)
+        vals, idx = np.asarray(vals), np.asarray(idx)
         return [{"userId": names[int(idx[i, 0])],
                  "similarity": float(vals[i, 0])} for i in range(n)]
 
@@ -308,20 +315,17 @@ def make_app(server: FaceServer):
     # recognize_frames program and ONE gallery search for all their faces.
     def _inference_batch(frames):
         n = len(frames)
-        res = server.pipeline.recognize_frames(_pad_stack(frames),
-                                               return_crops=True)
-        valid = np.asarray(res.valid)[:n]
-        emb = np.asarray(res.embeddings)[:n]
-        crops = np.asarray(res.crops)[:n]
-        f = emb.shape[1]
-        try:
-            vals, idx, names = server.gallery.search(
-                emb.reshape(n * f, -1).astype(np.float32))
-        except ValueError as e:
-            log.warning("Exception: %s", e)
+        garr, count, names = server.gallery.snapshot()
+        if count == 0:
+            log.warning("Feature matching: No faces in database")
             return [None] * n
-        vals = vals[:, 0].reshape(n, f)
-        idx = idx[:, 0].reshape(n, f)
+        res, sims, gidx = server.pipeline.recognize_and_match(
+            _pad_stack(frames), garr, count,
+            use_pallas=server.gallery.use_pallas, return_crops=True)
+        valid = np.asarray(res.valid)[:n]
+        crops = np.asarray(res.crops)[:n]
+        vals = np.asarray(sims)[:n, :, 0]
+        idx = np.asarray(gidx)[:n, :, 0]
         outs = []
         for i in range(n):
             if not valid[i].any():

@@ -51,15 +51,11 @@ def train_shardings(state: TrainState, mesh: Mesh,
 
     params_sh = jax.tree.map(lambda _: repl, state.params)
     head_shs = {"w": head_sh}
-    # optimizer state mirrors the (params, head) tuple structure: momentum
-    # buffers for the head follow the head sharding, everything else is
-    # replicated
-    def _opt_leaf_sharding(path, leaf):
-        return head_sh if any(
-            getattr(p, "key", None) == "w" for p in path) else repl
-
-    opt_sh = jax.tree_util.tree_map_with_path(_opt_leaf_sharding,
-                                              state.opt_state)
+    # Optimizer state starts replicated; after the first jitted step GSPMD
+    # propagates the head sharding into its momentum buffer automatically.
+    # (Matching leaves by dict key is unreliable — the backbone's linear
+    # layer also uses a "w" key.)
+    opt_sh = jax.tree.map(lambda _: repl, state.opt_state)
     state_sh = TrainState(params_sh, head_shs, opt_sh, repl)
     batch_sh = (NamedSharding(mesh, P(data_axis, None, None, None)),
                 NamedSharding(mesh, P(data_axis)))
