@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 # Reference engine paths are meaningless on TPU; these keys are accepted and
 # ignored (weights come from `det_weights` / `rec_weights` pytree files).

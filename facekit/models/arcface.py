@@ -107,6 +107,7 @@ def arcface_init(key, network: str = "ir_50", input_size: int = 112,
     n_keys = len(specs) + 3
     keys = jax.random.split(key, n_keys)
     fmap = input_size // 16  # 4 stride-2 stages
+    lin_w, lin_b = _torch_linear_init(keys[1], embed_dim, 512 * fmap * fmap)
     params: Dict[str, Any] = {
         "input": {
             "conv": L.xavier_uniform(keys[0], (64, 3, 3, 3)),
@@ -119,10 +120,7 @@ def arcface_init(key, network: str = "ir_50", input_size: int = 112,
         ],
         "output": {
             "bn2d": L.bn_init(512),
-            "linear": {
-                "w": _torch_linear_init(keys[1], embed_dim, 512 * fmap * fmap)[0],
-                "b": _torch_linear_init(keys[1], embed_dim, 512 * fmap * fmap)[1],
-            },
+            "linear": {"w": lin_w, "b": lin_b},
             "bn1d": L.bn_init(embed_dim),
         },
     }

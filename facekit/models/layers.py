@@ -14,7 +14,7 @@ either by random init (tests/bench) or by converting a PyTorch state_dict
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

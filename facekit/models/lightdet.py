@@ -18,7 +18,7 @@ Shared structure (net_slim.py:33-132 / net_rfb.py:100-199):
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ biubug6 repo, but this reference's net.py hardcodes plain ReLU (net.py:13,27
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

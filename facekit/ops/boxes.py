@@ -26,8 +26,6 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from facekit.ops.resize import letterbox_geometry
-
 VARIANCES = (0.1, 0.2)
 
 

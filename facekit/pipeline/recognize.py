@@ -18,7 +18,7 @@ compute but keep shapes static — maxFaces is 4, the MXU doesn't notice).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,10 +29,9 @@ from facekit.models.arcface import arcface_apply
 from facekit.models.retinaface import retinaface_apply
 from facekit.ops.align import warp_align
 from facekit.ops.anchors import generate_anchors
-from facekit.ops.boxes import Detections, select_faces
+from facekit.ops.boxes import select_faces
 from facekit.ops.preprocess import det_normalize, rec_normalize
 from facekit.ops.resize import crop_resize, letterbox, resize_image
-from facekit.ops.similarity import NEG_INF
 
 
 class FrameResult(NamedTuple):

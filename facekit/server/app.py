@@ -30,7 +30,6 @@ import concurrent.futures
 import json
 import logging
 import os
-import time
 from typing import Dict, Optional
 
 import numpy as np

@@ -6,7 +6,7 @@ relative to the frame. Coordinates here are the sane (x, y) convention.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

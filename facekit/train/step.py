@@ -9,7 +9,6 @@ communication. This is the dryrun_multichip target program.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

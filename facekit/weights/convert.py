@@ -18,7 +18,7 @@ Key maps follow the reference model definitions:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import jax.numpy as jnp
 import numpy as np
