@@ -299,6 +299,8 @@ def make_app(server: FaceServer):
             if frame is not None:
                 if frame.ndim == 2:
                     frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)
+                elif frame.shape[-1] == 4:  # PNG with alpha (IMREAD_UNCHANGED)
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGRA2BGR)
                 # the reference embeds the WHOLE image, no detection
                 # (:255-267), host-resizing to the recognizer input first
                 if frame.shape[:2] != (rh, rw):
@@ -365,6 +367,8 @@ def make_app(server: FaceServer):
                     if raw is not None:
                         if raw.ndim == 2:
                             raw = cv2.cvtColor(raw, cv2.COLOR_GRAY2BGR)
+                        elif raw.shape[-1] == 4:
+                            raw = cv2.cvtColor(raw, cv2.COLOR_BGRA2BGR)
                         frame = cv2.resize(raw, (cfg.input_frameWidth,
                                                  cfg.input_frameHeight))
                         retval = await inference_batcher.submit(frame)
@@ -383,6 +387,43 @@ def make_app(server: FaceServer):
         return web.Response(text="Success\n")
 
     # -- facekit extensions ----------------------------------------------------
+    async def search_topk(request):
+        """POST /search?k=5 with raw image bytes: top-k gallery matches for
+        the whole image embedded as a face (recognize semantics, but ranked).
+        facekit extension — not in the reference API."""
+        try:
+            k = max(1, int(request.rel_url.query.get(
+                "k", cfg.gallery_topk or 5)))
+        except ValueError:
+            return web.Response(status=400, text="invalid k\n")
+        data = await request.read()
+
+        def _run():
+            arr = np.frombuffer(data, np.uint8)
+            frame = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
+            if frame is None:
+                return None
+            if frame.ndim == 2:
+                frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)
+            elif frame.shape[-1] == 4:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGRA2BGR)
+            emb = server.pipeline.embed_cropped(frame)
+            try:
+                vals, idx, names = server.gallery.search(
+                    emb[None].astype(np.float32), k=k)
+            except ValueError:
+                return None
+            return [{"userId": names[int(idx[0, j])],
+                     "userName": server.user_dict.get(
+                         names[int(idx[0, j])], ""),
+                     "similarity": float(vals[0, j])}
+                    for j in range(vals.shape[1])]
+
+        result = await run_blocking(_run)
+        if result is None:
+            return web.Response(text="null", content_type="application/json")
+        return web.json_response({"matches": result})
+
     async def health(request):
         return web.json_response({
             "status": "ok",
@@ -404,6 +445,7 @@ def make_app(server: FaceServer):
     app.router.add_get("/inference", inference)
     app.router.add_get("/reload", reload)
     app.router.add_get("/health", health)
+    app.router.add_post("/search", search_topk)
     return app
 
 

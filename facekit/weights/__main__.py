@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("output")
     ap.add_argument("--network", default="ir_50",
                     help="arcface variant (ir_50/ir_101/ir_152/ir_se_50/...)")
+    ap.add_argument("--verify", action="store_true",
+                    help="run the converted JAX model on random input and "
+                         "report output stats (shape/finite/L2-norm)")
     args = ap.parse_args(argv)
 
     sd = load_torch_checkpoint(args.checkpoint)
@@ -35,6 +38,32 @@ def main(argv=None):
         params = convert_lightdet_state_dict(sd, args.model)
     save_params(params, args.output)
     print(f"wrote {args.output}")
+
+    if args.verify:
+        import numpy as np
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        if args.model == "arcface":
+            from facekit.models import arcface_apply
+            x = jnp.asarray(rng.normal(0, 1, (1, 112, 112, 3)),
+                            jnp.float32)
+            out = np.asarray(arcface_apply(params, x, network=args.network))
+            print(f"verify: emb {out.shape} finite={np.isfinite(out).all()} "
+                  f"norm={np.linalg.norm(out, axis=1)}")
+        elif args.model == "retinaface":
+            from facekit.models import retinaface_apply
+            x = jnp.asarray(rng.normal(0, 1, (1, 288, 320, 3)), jnp.float32)
+            outs = retinaface_apply(params, x)
+            print("verify:", [tuple(np.asarray(o).shape) for o in outs],
+                  "finite =", all(np.isfinite(np.asarray(o)).all()
+                                  for o in outs))
+        else:
+            from facekit.models.lightdet import lightdet_apply
+            x = jnp.asarray(rng.normal(0, 1, (1, 320, 320, 3)), jnp.float32)
+            outs = lightdet_apply(params, x, variant=args.model)
+            print("verify:", [tuple(np.asarray(o).shape) for o in outs],
+                  "finite =", all(np.isfinite(np.asarray(o)).all()
+                                  for o in outs))
 
 
 if __name__ == "__main__":

@@ -197,3 +197,35 @@ async def test_concurrent_recognize_batching(face_server, tmp_path, rng):
         for name, body in results:
             assert body["userId"] == name, (name, body)
             assert body["similarity"] > 0.9
+
+
+async def test_recognize_png_with_alpha(face_server, rng):
+    """IMREAD_UNCHANGED yields BGRA for alpha PNGs; must not 500."""
+    img = rng.integers(0, 256, size=(112, 112, 4), dtype=np.uint8)
+    ok, buf = cv2.imencode(".png", img)
+    async with make_client(face_server) as client:
+        r = await client.post("/recognize", data=buf.tobytes())
+        assert r.status == 200
+
+
+async def test_search_topk_extension(face_server, tmp_path, rng):
+    async with make_client(face_server) as client:
+        for name in ("s1", "s2", "s3"):
+            data, _ = _jpg(rng, hw=(112, 112))
+            p = tmp_path / f"{name}.jpg"
+            p.write_bytes(data)
+            if name == "s1":
+                probe = data
+            await client.post("/insert/user", data=json.dumps(
+                {"userId": name, "userName": name}))
+            await client.post("/insert/face", data=json.dumps(
+                {"data": [{"userId": name, "imgPath": str(p)}]}))
+        await client.get("/reload")
+
+        r = await client.post("/search?k=3", data=probe)
+        body = json.loads(await r.text())
+        assert len(body["matches"]) == 3
+        assert body["matches"][0]["userId"] == "s1"
+        assert body["matches"][0]["similarity"] > 0.9
+        sims = [m["similarity"] for m in body["matches"]]
+        assert sims == sorted(sims, reverse=True)
