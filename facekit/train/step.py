@@ -9,6 +9,7 @@ communication. This is the dryrun_multichip target program.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -62,12 +63,20 @@ def train_shardings(state: TrainState, mesh: Mesh,
 
 
 def make_train_step(network: str = "ir_50", lr: float = 0.1,
-                    margin: float = 0.5, scale: float = 64.0):
+                    margin: float = 0.5, scale: float = 64.0,
+                    remat: bool = False):
+    """``remat=True`` rematerializes the backbone forward in the backward
+    pass (jax.checkpoint), trading ~1.3x FLOPs for activation memory —
+    needed for large batches of IR-101/152 on one chip."""
     tx = make_optimizer(lr)
 
+    backbone = functools.partial(arcface_apply, network=network,
+                                 dtype=jnp.float32)
+    if remat:
+        backbone = jax.checkpoint(backbone, static_argnums=())
+
     def loss_fn(params, head, images, labels):
-        emb = arcface_apply(params, images, network=network,
-                            dtype=jnp.float32)
+        emb = backbone(params, images)
         logits = arc_margin_logits(head, emb, labels, margin, scale)
         losses = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels)

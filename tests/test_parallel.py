@@ -107,3 +107,18 @@ def test_gallery_store_mesh_backed(mesh8, rng):
     vals, idx, names = store.search(jnp.asarray(emb[10:13]), k=1)
     assert [names[i] for i in idx[:, 0]] == ["u10", "u11", "u12"]
     np.testing.assert_allclose(vals[:, 0], 1.0, rtol=1e-5)
+
+
+def test_train_step_remat():
+    """Rematerialized train step produces the same loss as the plain one."""
+    local_rng = np.random.default_rng(7)
+    state = train_state_init(jax.random.PRNGKey(0), 16, network="ir_tiny",
+                             lr=0.01)
+    images = jnp.asarray(
+        local_rng.normal(0, 1, size=(2, 112, 112, 3)).astype(np.float32))
+    labels = jnp.asarray([1, 3], jnp.int32)
+    step_plain = make_train_step(network="ir_tiny", lr=0.01)
+    step_remat = make_train_step(network="ir_tiny", lr=0.01, remat=True)
+    _, loss_a = step_plain(state, images, labels)
+    _, loss_b = step_remat(state, images, labels)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
