@@ -18,3 +18,15 @@ from facekit.ops.boxes import (  # noqa: F401
     nms,
     select_faces,
 )
+from facekit.ops.align import (  # noqa: F401
+    umeyama,
+    warp_align,
+    warp_align_gather,
+    warp_align_shear,
+)
+from facekit.ops.similarity import (  # noqa: F401
+    cosine_topk_int8,
+    cosine_topk_pallas,
+    cosine_topk_xla,
+    quantize_rows_int8,
+)
