@@ -55,6 +55,18 @@ class FaceServer:
         from facekit.weights import load_params
 
         self.config = config
+        # Persistent XLA compilation cache: the facekit analog of loading
+        # prebuilt .engine files (reference src/arcface.cpp:45-69) — warm
+        # restarts skip the multi-second jit compiles.
+        cache_dir = config.extras.get("compilation_cache_dir",
+                                      "/tmp/facekit-xla-cache")
+        if cache_dir:
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.5)
+            except Exception:  # older jax without the knobs
+                pass
         if det_params is None:
             det_params = retinaface_init(jax.random.PRNGKey(0),
                                          with_landmarks=config.det_withLandmarks)
