@@ -26,12 +26,35 @@ import numpy as np
 
 from facekit.config import FaceKitConfig
 from facekit.models.arcface import arcface_apply
+from facekit.models.lightdet import lightdet_apply
 from facekit.models.retinaface import retinaface_apply
 from facekit.ops.align import warp_align
-from facekit.ops.anchors import generate_anchors
+from facekit.ops.anchors import (RETINAFACE_MIN_SIZES, RETINAFACE_STEPS,
+                                 SLIM_RFB_MIN_SIZES, SLIM_RFB_STEPS,
+                                 generate_anchors)
 from facekit.ops.boxes import select_faces
 from facekit.ops.preprocess import det_normalize, rec_normalize
 from facekit.ops.resize import crop_resize, letterbox, resize_image
+
+
+def _detector_forward(det_params, x, det_network: str, dtype):
+    """Dispatch on the detector family; returns (loc, conf, ldm_or_None) and
+    the anchor layout for the input geometry."""
+    if det_network in ("slim", "rfb"):
+        loc, conf, ldm = lightdet_apply(det_params, x, variant=det_network,
+                                        dtype=dtype)
+        return loc, conf, ldm
+    out = retinaface_apply(det_params, x, dtype=dtype)
+    if len(out) == 3:
+        return out
+    loc, conf = out
+    return loc, conf, None
+
+
+def _detector_anchors(det_hw, det_network: str):
+    if det_network in ("slim", "rfb"):
+        return generate_anchors(det_hw, SLIM_RFB_STEPS, SLIM_RFB_MIN_SIZES)
+    return generate_anchors(det_hw, RETINAFACE_STEPS, RETINAFACE_MIN_SIZES)
 
 
 class FrameResult(NamedTuple):
@@ -47,21 +70,17 @@ class FrameResult(NamedTuple):
     jax.jit,
     static_argnames=("frame_hw", "det_hw", "rec_hw", "max_faces",
                      "score_thr", "iou_thr", "use_landmarks", "align",
-                     "rec_network", "dtype", "return_crops"))
+                     "rec_network", "dtype", "return_crops", "det_network"))
 def _recognize_frame(det_params, rec_params, frame, *, frame_hw, det_hw,
                      rec_hw, max_faces, score_thr, iou_thr, use_landmarks,
-                     align, rec_network, dtype, return_crops):
+                     align, rec_network, dtype, return_crops,
+                     det_network="mobilenet0.25"):
     frame = frame.astype(jnp.float32)
     x = letterbox(frame, det_hw)
     x = det_normalize(x)[None]
-    out = retinaface_apply(det_params, x, dtype=dtype)
-    if use_landmarks:
-        loc, conf, ldm = out
-        ldm0 = ldm[0]
-    else:
-        loc, conf = out
-        ldm0 = None
-    anchors = generate_anchors(det_hw)
+    loc, conf, ldm = _detector_forward(det_params, x, det_network, dtype)
+    ldm0 = ldm[0] if (use_landmarks and ldm is not None) else None
+    anchors = _detector_anchors(det_hw, det_network)
     det = select_faces(loc[0], conf[0], anchors, frame_hw, det_hw,
                        max_faces=max_faces, score_threshold=score_thr,
                        iou_threshold=iou_thr, ldm=ldm0)
@@ -79,10 +98,11 @@ def _recognize_frame(det_params, rec_params, frame, *, frame_hw, det_hw,
     jax.jit,
     static_argnames=("frame_hw", "det_hw", "rec_hw", "max_faces",
                      "score_thr", "iou_thr", "use_landmarks", "align",
-                     "rec_network", "dtype", "return_crops"))
+                     "rec_network", "dtype", "return_crops", "det_network"))
 def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
                       rec_hw, max_faces, score_thr, iou_thr, use_landmarks,
-                      align, rec_network, dtype, return_crops=False):
+                      align, rec_network, dtype, return_crops=False,
+                      det_network="mobilenet0.25"):
     """Batched variant: (N, H, W, 3) frames -> FrameResult with leading N.
 
     The throughput path: detector runs batch-N, all N*max_faces crops embed
@@ -93,12 +113,10 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
     n = frames.shape[0]
     frames = frames.astype(jnp.float32)
     x = det_normalize(letterbox(frames, det_hw))
-    out = retinaface_apply(det_params, x, dtype=dtype)
-    if use_landmarks:
-        loc, conf, ldm = out
-    else:
-        (loc, conf), ldm = out, None
-    anchors = generate_anchors(det_hw)
+    loc, conf, ldm = _detector_forward(det_params, x, det_network, dtype)
+    if not use_landmarks:
+        ldm = None
+    anchors = _detector_anchors(det_hw, det_network)
 
     def post(loc1, conf1, ldm1=None):
         return select_faces(loc1, conf1, anchors, frame_hw, det_hw,
@@ -129,11 +147,12 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
     static_argnames=("frame_hw", "det_hw", "rec_hw", "max_faces",
                      "score_thr", "iou_thr", "use_landmarks", "align",
                      "rec_network", "dtype", "return_crops", "k",
-                     "use_pallas"))
+                     "use_pallas", "det_network"))
 def _recognize_and_match(det_params, rec_params, gallery, count, frames, *,
                          frame_hw, det_hw, rec_hw, max_faces, score_thr,
                          iou_thr, use_landmarks, align, rec_network, dtype,
-                         return_crops, k, use_pallas):
+                         return_crops, k, use_pallas,
+                         det_network="mobilenet0.25"):
     """Single-dispatch serving program: frames -> detections + identities.
 
     Fuses the gallery search into the recognize program so embeddings never
@@ -148,7 +167,8 @@ def _recognize_and_match(det_params, rec_params, gallery, count, frames, *,
         det_params, rec_params, frames, frame_hw=frame_hw, det_hw=det_hw,
         rec_hw=rec_hw, max_faces=max_faces, score_thr=score_thr,
         iou_thr=iou_thr, use_landmarks=use_landmarks, align=align,
-        rec_network=rec_network, dtype=dtype, return_crops=return_crops)
+        rec_network=rec_network, dtype=dtype, return_crops=return_crops,
+        det_network=det_network)
     n, f, d = res.embeddings.shape
     flat = res.embeddings.reshape(n * f, d).astype(gallery.dtype)
     if use_pallas:
@@ -203,7 +223,9 @@ class FacePipeline:
         self.config = config
         self.det_params = det_params
         self.rec_params = rec_params
-        self.use_landmarks = "ldm_head" in det_params
+        self.det_network = config.det_network
+        self.use_landmarks = ("ldm_head" in det_params
+                              or "landm" in det_params)
         self.align = self.use_landmarks and bool(
             config.extras.get("rec_useAlignment", False))
         self.dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
@@ -222,7 +244,7 @@ class FacePipeline:
             score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
             use_landmarks=self.use_landmarks, align=self.align,
             rec_network=cfg.rec_network, dtype=self.dtype,
-            return_crops=return_crops)
+            return_crops=return_crops, det_network=self.det_network)
 
     def recognize_frames(self, frames_bgr: np.ndarray,
                          return_crops: bool = False) -> FrameResult:
@@ -235,7 +257,7 @@ class FacePipeline:
             score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
             use_landmarks=self.use_landmarks, align=self.align,
             rec_network=cfg.rec_network, dtype=self.dtype,
-            return_crops=return_crops)
+            return_crops=return_crops, det_network=self.det_network)
 
     def recognize_and_match(self, frames_bgr: np.ndarray, gallery_arr,
                             count: int, k: int = 1, use_pallas: bool = False,
@@ -250,7 +272,8 @@ class FacePipeline:
             score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
             use_landmarks=self.use_landmarks, align=self.align,
             rec_network=cfg.rec_network, dtype=self.dtype,
-            return_crops=return_crops, k=k, use_pallas=use_pallas)
+            return_crops=return_crops, k=k, use_pallas=use_pallas,
+            det_network=self.det_network)
 
     def embed_and_match(self, imgs_bgr: np.ndarray, gallery_arr, count: int,
                         k: int = 1, use_pallas: bool = False):

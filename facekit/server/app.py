@@ -68,8 +68,14 @@ class FaceServer:
             except Exception:  # older jax without the knobs
                 pass
         if det_params is None:
-            det_params = retinaface_init(jax.random.PRNGKey(0),
-                                         with_landmarks=config.det_withLandmarks)
+            if config.det_network in ("slim", "rfb"):
+                from facekit.models.lightdet import lightdet_init
+                det_params = lightdet_init(jax.random.PRNGKey(0),
+                                           variant=config.det_network)
+            else:
+                det_params = retinaface_init(
+                    jax.random.PRNGKey(0),
+                    with_landmarks=config.det_withLandmarks)
             if config.det_weights:
                 det_params = load_params(det_params, config.det_weights)
         if rec_params is None:

@@ -76,3 +76,21 @@ def test_recognize_frames_batched_matches_single(pipeline, rng):
         np.testing.assert_allclose(np.asarray(batched.embeddings[i]),
                                    np.asarray(single.embeddings),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_slim_detector_pipeline(rng):
+    """det_network='slim' serves through the same fused pipeline."""
+    from facekit.models.lightdet import lightdet_init
+    cfg = FaceKitConfig(input_frameWidth=320, input_frameHeight=240,
+                        det_inputShape=(3, 192, 192), det_network="slim",
+                        compute_dtype="float32")
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1))
+    pipe = FacePipeline(cfg, det, rec)
+    assert pipe.use_landmarks  # slim always has landmark heads
+    frame = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
+    res = pipe.recognize_frame(frame)
+    assert res.embeddings.shape == (4, 512)
+    assert res.landmarks.shape == (4, 5, 2)
+    batched = pipe.recognize_frames(frame[None].repeat(2, 0))
+    assert batched.embeddings.shape == (2, 4, 512)
