@@ -255,3 +255,37 @@ async def test_server_with_int8_gallery(tmp_path_factory, tmp_path, rng):
         body = json.loads(await r.text())
         assert body["userId"] == "q"
         assert body["similarity"] > 0.95
+
+
+async def test_bucket_growth_through_serving_flow(tmp_path_factory, rng):
+    """10k-row gallery: bucket ladder growth + search correctness through
+    the server (enrollment via DB directly to keep CI fast)."""
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("big") / "big.db"),
+        input_frameWidth=320, input_frameHeight=240,
+        det_inputShape=(3, 192, 192), compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False)
+    det = retinaface_init(jax.random.PRNGKey(0), with_landmarks=True)
+    rec = arcface_init(jax.random.PRNGKey(1))
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+
+    n = 10_000
+    embs = rng.normal(size=(n, 512)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    with srv.db._lock:
+        srv.db._conn.executemany(
+            "INSERT INTO FACE (USR_ID, IMG_PATH, EMBEDDING) VALUES (?, ?, ?)",
+            [(f"u{i}", f"p{i}", embs[i].tobytes()) for i in range(n)])
+        srv.db._conn.commit()
+
+    async with make_client(srv) as client:
+        r = await client.get("/reload")
+        assert await r.text() == "Success\n"
+    assert srv.gallery.count == n
+    assert srv.gallery.capacity == 65536  # third bucket
+
+    vals, idx, names = srv.gallery.search(
+        np.asarray(embs[[1234, 9876]]), k=1)
+    assert names[idx[0, 0]] == "u1234"
+    assert names[idx[1, 0]] == "u9876"
+    np.testing.assert_allclose(vals[:, 0], 1.0, rtol=1e-5)
