@@ -12,20 +12,25 @@ Reload semantics match the reference's ``/reload`` route
 (``src/app.cpp:354-365``): build a fresh gallery from the database rows and
 atomically swap it in — concurrent searches keep using the old array until
 the swap (arrays are immutable), which also fixes the reference's
-unsynchronized-shared-state race (SURVEY.md §2.12).
+unsynchronized-shared-state race (SURVEY.md §2.12). ``add`` within the
+current capacity is an in-place ``dynamic_update_slice`` with a donated
+buffer (one row over PCIe/ICI, not a full-gallery re-upload); only bucket
+growth rebuilds.
 """
 
 from __future__ import annotations
 
+import functools
 import threading
-from typing import List, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from facekit.ops.similarity import (cosine_topk_int8, cosine_topk_pallas,
-                                    cosine_topk_xla, quantize_rows_int8)
+from facekit.ops.similarity import (cosine_topk_int8, cosine_topk_int8_pallas,
+                                    cosine_topk_pallas, cosine_topk_xla,
+                                    quantize_rows_int8)
 
 
 def _bucket_capacity(n: int, buckets: Sequence[int]) -> int:
@@ -35,6 +40,27 @@ def _bucket_capacity(n: int, buckets: Sequence[int]) -> int:
     # beyond the ladder: round up to the next multiple of the largest bucket
     top = buckets[-1]
     return ((n + top - 1) // top) * top
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_row(arr: jax.Array, row: jax.Array, i: jnp.ndarray) -> jax.Array:
+    """In-place (donated) single-row update; sharding propagates from arr."""
+    return jax.lax.dynamic_update_slice(
+        arr, row[None].astype(arr.dtype), (i, jnp.int32(0)))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_scalar(vec: jax.Array, val: jnp.ndarray, i: jnp.ndarray) -> jax.Array:
+    return jax.lax.dynamic_update_slice(
+        vec, jnp.reshape(val, (1,)).astype(vec.dtype), (i,))
+
+
+class GallerySnapshot(NamedTuple):
+    """Consistent view for callers fusing the search into a larger program."""
+    arr: jax.Array
+    count: int
+    names: List[str]
+    scales: Optional[jax.Array]       # per-row int8 scales, None unless int8
 
 
 class GalleryStore:
@@ -47,21 +73,26 @@ class GalleryStore:
         """``mesh``: optional jax Mesh — the gallery is then row-sharded over
         ``mesh_axis`` and searched with the cross-shard kernel
         (facekit.parallel.sharded_search); capacities stay multiples of the
-        shard count via the bucket ladder."""
+        shard count via the bucket ladder. ``use_pallas`` requests the fused
+        Pallas kernels; it is honored only on TPU backends (on CPU the
+        XLA path runs instead, unless a caller passes ``interpret=True``
+        to ``search``)."""
         self.embed_dim = embed_dim
         self.buckets = tuple(buckets)
         self.quantized = dtype == "int8"
         self.dtype = (jnp.bfloat16 if dtype == "bfloat16"
                       else jnp.float32 if dtype == "float32"
                       else jnp.int8)
-        self.use_pallas = use_pallas and not self.quantized
+        self._pallas_requested = bool(use_pallas)
+        self.use_pallas = self._pallas_requested and _pallas_backend()
         self._scales: Optional[jax.Array] = None
         self.device = device
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self._lock = threading.Lock()
         self._names: List[str] = []
-        self._host = np.zeros((0, embed_dim), np.float32)
+        # host mirror, preallocated at device capacity (amortized appends)
+        self._host_buf = np.zeros((0, embed_dim), np.float32)
         self._device_arr: Optional[jax.Array] = None
         self._rebuild()
 
@@ -79,23 +110,29 @@ class GalleryStore:
     def capacity(self) -> int:
         return 0 if self._device_arr is None else self._device_arr.shape[0]
 
+    def _place(self, dev: jax.Array, is_rows: bool = False) -> jax.Array:
+        if self.mesh is not None:
+            from facekit.parallel.sharded_search import (shard_gallery,
+                                                         shard_rows)
+            return (shard_rows(dev, self.mesh, self.mesh_axis) if is_rows
+                    else shard_gallery(dev, self.mesh, self.mesh_axis))
+        if self.device is not None:
+            return jax.device_put(dev, self.device)
+        return dev
+
     def _rebuild(self) -> None:
         n = len(self._names)
         cap = _bucket_capacity(max(n, 1), self.buckets)
-        arr = np.zeros((cap, self.embed_dim), np.float32)
-        if n:
-            arr[:n] = self._host[:n]
+        if self._host_buf.shape[0] != cap:
+            buf = np.zeros((cap, self.embed_dim), np.float32)
+            buf[:n] = self._host_buf[:n]
+            self._host_buf = buf
         if self.quantized:
-            dev, scales = quantize_rows_int8(jnp.asarray(arr))
-            self._scales = scales
+            dev, scales = quantize_rows_int8(jnp.asarray(self._host_buf))
+            self._scales = self._place(scales, is_rows=True)
         else:
-            dev = jnp.asarray(arr, dtype=self.dtype)
-        if self.mesh is not None:
-            from facekit.parallel.sharded_search import shard_gallery
-            dev = shard_gallery(dev, self.mesh, self.mesh_axis)
-        elif self.device is not None:
-            dev = jax.device_put(dev, self.device)
-        self._device_arr = dev
+            dev = jnp.asarray(self._host_buf, dtype=self.dtype)
+        self._device_arr = self._place(dev)
 
     # -- mutation (mirrors addEmbedding/resetEmbeddings/initMatMul) ----------
 
@@ -105,62 +142,100 @@ class GalleryStore:
         assert len(names) == embeddings.shape[0]
         with self._lock:
             self._names = list(names)
-            self._host = embeddings.copy()
+            n = embeddings.shape[0]
+            cap = _bucket_capacity(max(n, 1), self.buckets)
+            self._host_buf = np.zeros((cap, self.embed_dim), np.float32)
+            self._host_buf[:n] = embeddings
             self._rebuild()
 
     def add(self, name: str, embedding: np.ndarray) -> None:
-        """Append one row (reference addEmbedding, src/arcface.cpp:150-160)."""
+        """Append one row (reference addEmbedding, src/arcface.cpp:150-160).
+
+        Within the current capacity bucket this is an O(row) donated
+        ``dynamic_update_slice`` on device (no full re-upload — at 1M rows
+        a rebuild-per-face would move ~1 GB); crossing a bucket boundary
+        rebuilds at the next capacity.
+        """
         emb = np.asarray(embedding, np.float32).reshape(1, self.embed_dim)
         with self._lock:
+            i = len(self._names)
             self._names.append(name)
-            self._host = np.concatenate([self._host, emb], 0)
-            self._rebuild()
+            if i >= self.capacity:
+                # bucket growth: host buffer + device array rebuild
+                buf = np.zeros((_bucket_capacity(i + 1, self.buckets),
+                                self.embed_dim), np.float32)
+                buf[:i] = self._host_buf[:i]
+                buf[i] = emb[0]
+                self._host_buf = buf
+                self._rebuild()
+                return
+            self._host_buf[i] = emb[0]
+            row = jnp.asarray(emb[0])
+            if self.quantized:
+                q, s = quantize_rows_int8(row[None])
+                self._device_arr = _set_row(self._device_arr, q[0],
+                                            jnp.int32(i))
+                self._scales = _set_scalar(self._scales, s[0], jnp.int32(i))
+            else:
+                self._device_arr = _set_row(self._device_arr, row,
+                                            jnp.int32(i))
 
     def reset(self) -> None:
         """Clear (reference resetEmbeddings, src/arcface.cpp:233-236)."""
         with self._lock:
             self._names = []
-            self._host = np.zeros((0, self.embed_dim), np.float32)
+            self._host_buf = np.zeros((0, self.embed_dim), np.float32)
             self._rebuild()
 
     # -- search ---------------------------------------------------------------
 
-    def snapshot(self):
-        """(device_array, count, names) consistent snapshot, for callers
-        that fuse the search into a larger jitted program."""
+    def snapshot(self) -> GallerySnapshot:
+        """Atomic (array, count, names, scales) view, for callers that fuse
+        the search into a larger jitted program."""
         with self._lock:
-            return self._device_arr, len(self._names), list(self._names)
+            return GallerySnapshot(self._device_arr, len(self._names),
+                                   list(self._names), self._scales)
 
     def search(self, queries: jnp.ndarray, k: int = 1,
                interpret: bool = False) -> Tuple[np.ndarray, np.ndarray, List[str]]:
         """(B, D) queries -> (scores (B, k), indices (B, k), names).
 
         ``names`` is the snapshot matching the indices (atomic with the
-        array used), so a concurrent reload can't skew the id mapping.
+        array AND the scales used), so a concurrent reload can't skew the
+        id mapping or mismatch scale shapes.
         """
-        with self._lock:
-            arr = self._device_arr
-            names = self._names
-            count = len(names)
+        arr, count, names, scales = self.snapshot()
         if count == 0:
             raise ValueError(
                 "Feature matching: No faces in database")  # reference msg
         kk = min(k, count)
-        if self.quantized:
-            vals, idx = cosine_topk_int8(arr, self._scales, queries,
-                                         jnp.int32(count), k=kk)
-            return np.asarray(vals), np.asarray(idx), names
-        queries = queries.astype(self.dtype)
+        use_pallas = self.use_pallas or (interpret and self._pallas_requested)
         if self.mesh is not None:
             from facekit.parallel.sharded_search import sharded_cosine_topk
+            q = (queries.astype(jnp.float32) if self.quantized
+                 else queries.astype(self.dtype))
             vals, idx = sharded_cosine_topk(
-                arr, queries, jnp.int32(count), k=kk, mesh=self.mesh,
-                axis=self.mesh_axis, use_pallas=self.use_pallas,
-                interpret=interpret)
-        elif self.use_pallas:
-            vals, idx = cosine_topk_pallas(arr, queries,
+                arr, q, jnp.int32(count), k=kk, mesh=self.mesh,
+                axis=self.mesh_axis, scales=scales,
+                use_pallas=use_pallas, interpret=interpret)
+        elif self.quantized:
+            fn = cosine_topk_int8_pallas if use_pallas else cosine_topk_int8
+            kw = {"interpret": interpret} if use_pallas else {}
+            vals, idx = fn(arr, scales, queries.astype(jnp.float32),
+                           jnp.int32(count), k=kk, **kw)
+        elif use_pallas:
+            vals, idx = cosine_topk_pallas(arr, queries.astype(self.dtype),
                                            jnp.int32(count), k=kk,
                                            interpret=interpret)
         else:
-            vals, idx = cosine_topk_xla(arr, queries, jnp.int32(count), k=kk)
+            vals, idx = cosine_topk_xla(arr, queries.astype(self.dtype),
+                                        jnp.int32(count), k=kk)
         return np.asarray(vals), np.asarray(idx), names
+
+
+def _pallas_backend() -> bool:
+    """True when the default backend can run the TPU Pallas kernels."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -114,6 +114,120 @@ def _topk_rows(vals: jnp.ndarray, idx: jnp.ndarray, k: int):
     return jnp.concatenate(out_v, 1), jnp.concatenate(out_i, 1)
 
 
+def _search_kernel_int8(count_ref, q_ref, qs_ref, g_ref, gs_ref,
+                        out_v_ref, out_i_ref, run_v, run_i, *,
+                        tile_n: int, k: int):
+    """int8 tile variant: integer MXU matmul + per-row scale application.
+
+    Same running-top-k structure as ``_search_kernel``; the (B, TILE)
+    similarity tile is reconstructed as int32 dot * query_scale[:, None]
+    * gallery_scale[None, :] — the (B, N) matrix never exists in HBM
+    (unlike the XLA int8 path, which materializes it)."""
+    pid = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        run_v[:] = jnp.full_like(run_v, NEG_INF)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    acc = jax.lax.dot_general(
+        q_ref[:], g_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    sims = acc * qs_ref[:] * gs_ref[:]          # (B,1) and (1,TILE) scales
+    base = pid * tile_n
+    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
+    sims = jnp.where(col < count_ref[0], sims, NEG_INF)
+
+    tile_v, tile_i = _topk_rows(sims, col, k)
+    merged_v = jnp.concatenate([run_v[:], tile_v], axis=1)
+    merged_i = jnp.concatenate([run_i[:], tile_i], axis=1)
+    new_v, new_i = _topk_rows(merged_v, merged_i, k)
+    run_v[:] = new_v
+    run_i[:] = new_i
+
+    @pl.when(pid == nprog - 1)
+    def _emit():
+        out_v_ref[:] = run_v[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile_n", "interpret"))
+def cosine_topk_int8_pallas(gallery_q: jnp.ndarray, gallery_scale: jnp.ndarray,
+                            queries: jnp.ndarray, count: jnp.ndarray,
+                            k: int = 1, tile_n: int = 4096,
+                            interpret: bool = False
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused int8 search: streams int8 gallery tiles (half the HBM traffic
+    of bf16) and never materializes the (B, N) similarity matrix.
+
+    gallery_q (N, D) int8 with per-row ``gallery_scale`` (N,) f32; queries
+    (B, D) float (quantized on the fly, same semantics as
+    ``cosine_topk_int8``). Replaces the reference's fp32 cuBLASLt matmul +
+    full D2H similarity copy (src/matmul.cpp:36-77) at ~4x its bandwidth.
+    """
+    n, d = gallery_q.shape
+    b = queries.shape[0]
+    qq, qs = quantize_rows_int8(queries.astype(jnp.float32))
+    b_pad = _round_up(b, 32)                    # int8 sublane granularity
+    if b_pad != b:
+        qq = jnp.pad(qq, ((0, b_pad - b), (0, 0)))
+        qs = jnp.pad(qs, (0, b_pad - b))
+    qs2 = qs[:, None].astype(jnp.float32)       # (B, 1)
+    tile_n = min(tile_n, _round_up(n, 512))
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        # capacity buckets are tile multiples on the serving path (see
+        # gallery.store) so this pad is a no-op there
+        gallery_q = jnp.pad(gallery_q, ((0, n_pad - n), (0, 0)))
+        gallery_scale = jnp.pad(gallery_scale, (0, n_pad - n))
+    gs2 = gallery_scale[None, :].astype(jnp.float32)   # (1, N)
+    grid = n_pad // tile_n
+
+    kernel = functools.partial(_search_kernel_int8, tile_n=tile_n, k=k)
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((b_pad, d), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),   # queries resident
+                pl.BlockSpec((b_pad, 1), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),   # query scales
+                pl.BlockSpec((tile_n, d), lambda i, c: (i, 0),
+                             memory_space=pltpu.VMEM),   # gallery tile
+                pl.BlockSpec((1, tile_n), lambda i, c: (0, i),
+                             memory_space=pltpu.VMEM),   # gallery scales
+            ],
+            out_specs=(
+                pl.BlockSpec((b_pad, k), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_pad, k), lambda i, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((b_pad, k), jnp.float32),
+                pltpu.VMEM((b_pad, k), jnp.int32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d,
+            bytes_accessed=n_pad * d + b_pad * d + 4 * n_pad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([count], jnp.int32).reshape(1), qq, qs2, gallery_q, gs2)
+    return out_v[:b], out_i[:b]
+
+
 def _search_kernel(count_ref, q_ref, g_ref, out_v_ref, out_i_ref,
                    run_v, run_i, *, tile_n: int, k: int):
     pid = pl.program_id(0)

@@ -142,17 +142,73 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
                        faces if return_crops else None)
 
 
+def _match_queries(gallery, gallery_scale, flat, count, *, k, use_pallas,
+                   mesh, gallery_axis, data_axis, interpret=False):
+    """Route a (B, D) f32 query batch to the right search kernel.
+
+    Handles all four {single-chip, mesh} x {float, int8} combinations so
+    every fused serving program shares one search path. On a mesh the
+    row-sharded kernel (facekit.parallel.sharded_search) runs — a raw
+    pallas_call on a sharded gallery would either fail to partition or
+    silently all-gather the full gallery per batch. ``data_axis`` (when
+    present in the mesh and it divides B) keeps the queries sharded so each
+    data shard merges only its own partials.
+    """
+    from facekit.ops.similarity import (cosine_topk_int8,
+                                        cosine_topk_int8_pallas,
+                                        cosine_topk_pallas, cosine_topk_xla)
+
+    quantized = gallery.dtype == jnp.int8
+    if mesh is not None:
+        from facekit.parallel.sharded_search import sharded_cosine_topk
+        b = flat.shape[0]
+        qaxis = None
+        if (data_axis is not None and data_axis in mesh.shape
+                and mesh.shape[data_axis] > 1
+                and b % mesh.shape[data_axis] == 0):
+            qaxis = data_axis
+        q = flat if quantized else flat.astype(gallery.dtype)
+        return sharded_cosine_topk(
+            gallery, q, count, k=k, mesh=mesh, axis=gallery_axis,
+            query_axis=qaxis, scales=gallery_scale, use_pallas=use_pallas,
+            interpret=interpret)
+    if quantized:
+        if use_pallas:
+            return cosine_topk_int8_pallas(gallery, gallery_scale, flat,
+                                           count, k=k, interpret=interpret)
+        return cosine_topk_int8(gallery, gallery_scale, flat, count, k=k)
+    q = flat.astype(gallery.dtype)
+    if use_pallas:
+        return cosine_topk_pallas(gallery, q, count, k=k, interpret=interpret)
+    return cosine_topk_xla(gallery, q, count, k=k)
+
+
+def _constrain_batch(x, mesh, data_axis):
+    """Shard a leading-batch array over the mesh data axis (GSPMD then
+    partitions the whole batch-parallel program across chips)."""
+    if (mesh is None or data_axis is None or data_axis not in mesh.shape
+            or mesh.shape[data_axis] <= 1
+            or x.shape[0] % mesh.shape[data_axis] != 0):
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = P(data_axis, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("frame_hw", "det_hw", "rec_hw", "max_faces",
                      "score_thr", "iou_thr", "use_landmarks", "align",
                      "rec_network", "dtype", "return_crops", "k",
-                     "use_pallas", "det_network"))
+                     "use_pallas", "det_network", "mesh", "gallery_axis",
+                     "data_axis", "interpret"))
 def _recognize_and_match(det_params, rec_params, gallery, count, frames, *,
                          frame_hw, det_hw, rec_hw, max_faces, score_thr,
                          iou_thr, use_landmarks, align, rec_network, dtype,
                          return_crops, k, use_pallas,
-                         det_network="mobilenet0.25"):
+                         det_network="mobilenet0.25", gallery_scale=None,
+                         mesh=None, gallery_axis="gallery",
+                         data_axis="data", interpret=False):
     """Single-dispatch serving program: frames -> detections + identities.
 
     Fuses the gallery search into the recognize program so embeddings never
@@ -160,9 +216,14 @@ def _recognize_and_match(det_params, rec_params, gallery, count, frames, *,
     m_embeds through host memory between forward() and featureMatching(),
     src/arcface.cpp:166-201). Returns (FrameResult, sims (N, F, k),
     indices (N, F, k)).
-    """
-    from facekit.ops.similarity import cosine_topk_pallas, cosine_topk_xla
 
+    With ``mesh`` set this is the multi-chip serving program: frames are
+    batch-sharded over ``data_axis`` (params replicated — GSPMD partitions
+    detector + embedder data-parallel) and the gallery stays row-sharded
+    over ``gallery_axis``; the reference's hot path (src/app.cpp:293-352)
+    at target-hardware scale.
+    """
+    frames = _constrain_batch(frames, mesh, data_axis)
     res = _recognize_frames(
         det_params, rec_params, frames, frame_hw=frame_hw, det_hw=det_hw,
         rec_hw=rec_hw, max_faces=max_faces, score_thr=score_thr,
@@ -170,29 +231,30 @@ def _recognize_and_match(det_params, rec_params, gallery, count, frames, *,
         rec_network=rec_network, dtype=dtype, return_crops=return_crops,
         det_network=det_network)
     n, f, d = res.embeddings.shape
-    flat = res.embeddings.reshape(n * f, d).astype(gallery.dtype)
-    if use_pallas:
-        vals, idx = cosine_topk_pallas(gallery, flat, count, k=k)
-    else:
-        vals, idx = cosine_topk_xla(gallery, flat, count, k=k)
+    flat = res.embeddings.reshape(n * f, d)
+    vals, idx = _match_queries(gallery, gallery_scale, flat, count, k=k,
+                               use_pallas=use_pallas, mesh=mesh,
+                               gallery_axis=gallery_axis,
+                               data_axis=data_axis, interpret=interpret)
     return res, vals.reshape(n, f, k), idx.reshape(n, f, k)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rec_network", "dtype", "k", "use_pallas"))
+    static_argnames=("rec_network", "dtype", "k", "use_pallas", "mesh",
+                     "gallery_axis", "data_axis", "interpret"))
 def _embed_and_match(rec_params, gallery, count, imgs, *, rec_network,
-                     dtype, k, use_pallas):
+                     dtype, k, use_pallas, gallery_scale=None, mesh=None,
+                     gallery_axis="gallery", data_axis="data",
+                     interpret=False):
     """Single-dispatch /recognize batch: pre-resized crops -> identities."""
-    from facekit.ops.similarity import cosine_topk_pallas, cosine_topk_xla
-
+    imgs = _constrain_batch(imgs, mesh, data_axis)
     emb = arcface_apply(rec_params, rec_normalize(imgs.astype(jnp.float32)),
                         network=rec_network, dtype=dtype)
-    q = emb.astype(gallery.dtype)
-    if use_pallas:
-        vals, idx = cosine_topk_pallas(gallery, q, count, k=k)
-    else:
-        vals, idx = cosine_topk_xla(gallery, q, count, k=k)
+    vals, idx = _match_queries(gallery, gallery_scale, emb, count, k=k,
+                               use_pallas=use_pallas, mesh=mesh,
+                               gallery_axis=gallery_axis,
+                               data_axis=data_axis, interpret=interpret)
     return emb, vals, idx
 
 
@@ -261,8 +323,16 @@ class FacePipeline:
 
     def recognize_and_match(self, frames_bgr: np.ndarray, gallery_arr,
                             count: int, k: int = 1, use_pallas: bool = False,
-                            return_crops: bool = False):
-        """One dispatch: batched frames -> (FrameResult, sims, gallery idx)."""
+                            return_crops: bool = False, gallery_scale=None,
+                            mesh=None, gallery_axis: str = "gallery",
+                            data_axis: str = "data",
+                            interpret: bool = False):
+        """One dispatch: batched frames -> (FrameResult, sims, gallery idx).
+
+        Pass the fields of a ``GalleryStore.snapshot()`` (array, count,
+        scales) plus the store's mesh for sharded serving; int8 galleries
+        need ``gallery_scale``.
+        """
         cfg = self.config
         return _recognize_and_match(
             self.det_params, self.rec_params, gallery_arr,
@@ -273,15 +343,23 @@ class FacePipeline:
             use_landmarks=self.use_landmarks, align=self.align,
             rec_network=cfg.rec_network, dtype=self.dtype,
             return_crops=return_crops, k=k, use_pallas=use_pallas,
-            det_network=self.det_network)
+            det_network=self.det_network, gallery_scale=gallery_scale,
+            mesh=mesh, gallery_axis=gallery_axis, data_axis=data_axis,
+            interpret=interpret)
 
     def embed_and_match(self, imgs_bgr: np.ndarray, gallery_arr, count: int,
-                        k: int = 1, use_pallas: bool = False):
+                        k: int = 1, use_pallas: bool = False,
+                        gallery_scale=None, mesh=None,
+                        gallery_axis: str = "gallery",
+                        data_axis: str = "data", interpret: bool = False):
         """One dispatch: (N, rec_h, rec_w, 3) crops -> (emb, sims, idx)."""
         return _embed_and_match(
             self.rec_params, gallery_arr, jnp.int32(count),
             jnp.asarray(imgs_bgr), rec_network=self.config.rec_network,
-            dtype=self.dtype, k=k, use_pallas=use_pallas)
+            dtype=self.dtype, k=k, use_pallas=use_pallas,
+            gallery_scale=gallery_scale, mesh=mesh,
+            gallery_axis=gallery_axis, data_axis=data_axis,
+            interpret=interpret)
 
     def embed_cropped(self, img_bgr: np.ndarray) -> np.ndarray:
         """Embed an already-cropped face image (any size; device-resized)."""

@@ -87,14 +87,20 @@ class FaceServer:
         self.pipeline = FacePipeline(config, det_params, rec_params)
         self.db = Database(config.database_path, config.rec_outputDim)
         mesh = None
-        if config.mesh_shape:  # multi-chip gallery sharding over ICI
+        if config.mesh_shape:
+            # multi-chip serving: gallery rows shard over "gallery", the
+            # request batch over "data" (either axis may be size 1). A
+            # missing gallery axis is treated as size 1 (pure dp).
             from facekit.parallel import make_mesh
-            mesh = make_mesh(dict(config.mesh_shape))
+            shape = dict(config.mesh_shape)
+            shape.setdefault("gallery", 1)
+            mesh = make_mesh(shape)
+        self.mesh = mesh
         self.gallery = GalleryStore(
             embed_dim=config.rec_outputDim,
             buckets=config.gallery_bucket_sizes,
             dtype=config.gallery_dtype,
-            use_pallas=config.use_pallas_search and _on_tpu(),
+            use_pallas=config.use_pallas_search,
             mesh=mesh)
         self.user_dict: Dict[str, str] = self.db.get_user_dict()
         self.reload_gallery()
@@ -104,21 +110,28 @@ class FaceServer:
         self.metrics = LatencyTracker()
         # micro-batching knobs (facekit extension; see server/batcher.py)
         self.batch_size = int(config.extras.get("server_batchSize", 8))
+        if mesh is not None and "data" in mesh.shape:
+            # the padded batch shards over the data axis — keep it divisible
+            d = mesh.shape["data"]
+            self.batch_size = ((self.batch_size + d - 1) // d) * d
         self.batch_wait_ms = float(config.extras.get("server_batchWaitMs", 3.0))
         if warmup:
             self.pipeline.warmup()
             # compile the fused serving programs against the current
             # gallery bucket (recompiles only when the bucket grows)
-            garr, count, _ = self.gallery.snapshot()
+            snap = self.gallery.snapshot()
             fh, fw = config.frame_hw
             rh, rw = config.rec_hw
             self.pipeline.recognize_and_match(
                 np.zeros((self.batch_size, fh, fw, 3), np.uint8),
-                garr, max(count, 1), use_pallas=self.gallery.use_pallas,
-                return_crops=True)
+                snap.arr, max(snap.count, 1),
+                use_pallas=self.gallery.use_pallas, return_crops=True,
+                gallery_scale=snap.scales, mesh=mesh)
             self.pipeline.embed_and_match(
                 np.zeros((self.batch_size, rh, rw, 3), np.uint8),
-                garr, max(count, 1), use_pallas=self.gallery.use_pallas)
+                snap.arr, max(snap.count, 1),
+                use_pallas=self.gallery.use_pallas,
+                gallery_scale=snap.scales, mesh=mesh)
 
     # -- gallery management (reference /reload, src/app.cpp:354-365) ---------
 
@@ -167,14 +180,6 @@ class FaceServer:
         if valid.sum() != 1:
             return None
         return np.asarray(res.embeddings)[0]
-
-
-def _on_tpu() -> bool:
-    import jax
-    try:
-        return jax.devices()[0].platform not in ("cpu",)
-    except Exception:
-        return False
 
 
 def make_app(server: FaceServer):
@@ -293,20 +298,16 @@ def make_app(server: FaceServer):
 
     def _recognize_batch(crops):
         n = len(crops)
-        garr, count, names = server.gallery.snapshot()
-        if count == 0:
+        snap = server.gallery.snapshot()
+        if snap.count == 0:
             log.warning("Feature matching: No faces in database")
             return [None] * n
-        if server.gallery.quantized:
-            # int8 galleries need the scale-aware kernel: embed then search
-            emb = server.pipeline.embed_cropped_batch(_pad_stack(crops))[:n]
-            vals, idx, names = server.gallery.search(emb.astype(np.float32))
-        else:
-            _, vals, idx = server.pipeline.embed_and_match(
-                _pad_stack(crops), garr, count,
-                use_pallas=server.gallery.use_pallas)
-            vals, idx = np.asarray(vals), np.asarray(idx)
-        return [{"userId": names[int(idx[i, 0])],
+        _, vals, idx = server.pipeline.embed_and_match(
+            _pad_stack(crops), snap.arr, snap.count,
+            use_pallas=server.gallery.use_pallas,
+            gallery_scale=snap.scales, mesh=server.mesh)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        return [{"userId": snap.names[int(idx[i, 0])],
                  "similarity": float(vals[i, 0])} for i in range(n)]
 
     recognize_batcher = MicroBatcher(_recognize_batch, server.executor,
@@ -339,24 +340,17 @@ def make_app(server: FaceServer):
     # recognize_frames program and ONE gallery search for all their faces.
     def _inference_batch(frames):
         n = len(frames)
-        garr, count, names = server.gallery.snapshot()
-        if count == 0:
+        snap = server.gallery.snapshot()
+        names = snap.names
+        if snap.count == 0:
             log.warning("Feature matching: No faces in database")
             return [None] * n
-        if server.gallery.quantized:
-            res = server.pipeline.recognize_frames(_pad_stack(frames),
-                                                   return_crops=True)
-            f = res.embeddings.shape[1]
-            emb = np.asarray(res.embeddings)[:n].reshape(n * f, -1)
-            vals, idx, names = server.gallery.search(emb.astype(np.float32))
-            vals = vals[:, 0].reshape(n, f)
-            idx = idx[:, 0].reshape(n, f)
-        else:
-            res, sims, gidx = server.pipeline.recognize_and_match(
-                _pad_stack(frames), garr, count,
-                use_pallas=server.gallery.use_pallas, return_crops=True)
-            vals = np.asarray(sims)[:n, :, 0]
-            idx = np.asarray(gidx)[:n, :, 0]
+        res, sims, gidx = server.pipeline.recognize_and_match(
+            _pad_stack(frames), snap.arr, snap.count,
+            use_pallas=server.gallery.use_pallas, return_crops=True,
+            gallery_scale=snap.scales, mesh=server.mesh)
+        vals = np.asarray(sims)[:n, :, 0]
+        idx = np.asarray(gidx)[:n, :, 0]
         valid = np.asarray(res.valid)[:n]
         crops = np.asarray(res.crops)[:n]
         outs = []

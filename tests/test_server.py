@@ -289,3 +289,75 @@ async def test_bucket_growth_through_serving_flow(tmp_path_factory, rng):
     assert names[idx[0, 0]] == "u1234"
     assert names[idx[1, 0]] == "u9876"
     np.testing.assert_allclose(vals[:, 0], 1.0, rtol=1e-5)
+
+
+async def test_server_with_mesh_backed_gallery(tmp_path_factory, tmp_path,
+                                               rng):
+    """Multi-chip serving config: frames batch-sharded over "data", gallery
+    rows over "gallery", on the 8-device virtual mesh. The fused serving
+    path must route through the sharded search (ADVICE r1), and both the
+    /recognize and WS /inference flows must work end to end."""
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("m") / "m.db"),
+        input_frameWidth=320, input_frameHeight=240,
+        det_inputShape=(3, 192, 192), compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False,
+        mesh_shape={"data": 2, "gallery": 4},
+        extras={"server_batchSize": 4})
+    det = retinaface_init(jax.random.PRNGKey(0), with_landmarks=True)
+    rec = arcface_init(jax.random.PRNGKey(1))
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    assert srv.mesh is not None and dict(srv.mesh.shape) == {
+        "data": 2, "gallery": 4}
+    assert srv.batch_size % 2 == 0
+
+    async with make_client(srv) as client:
+        data, _ = _jpg(rng, hw=(112, 112))
+        p = tmp_path / "m.jpg"
+        p.write_bytes(data)
+        await client.post("/insert/user", data=json.dumps(
+            {"userId": "mesh", "userName": "Mesh"}))
+        await client.post("/insert/face", data=json.dumps(
+            {"data": [{"userId": "mesh", "imgPath": str(p)}]}))
+        await client.get("/reload")
+        assert len(srv.gallery._device_arr.sharding.device_set) == 8
+
+        r = await client.post("/recognize", data=data)
+        body = json.loads(await r.text())
+        assert body["userId"] == "mesh"
+        assert body["similarity"] > 0.95
+
+        frame_bytes, _ = _jpg(rng, hw=(240, 320))
+        ws = await client.ws_connect("/inference")
+        await ws.send_bytes(frame_bytes)
+        reply = await ws.receive_str()
+        assert reply == "null" or "userId" in json.loads(reply)
+        await ws.close()
+
+
+async def test_server_mesh_int8_gallery(tmp_path_factory, tmp_path, rng):
+    """mesh x int8: the combination that silently bypassed sharding in r1."""
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("mq") / "mq.db"),
+        input_frameWidth=320, input_frameHeight=240,
+        det_inputShape=(3, 192, 192), compute_dtype="float32",
+        gallery_dtype="int8", use_pallas_search=False,
+        mesh_shape={"gallery": 8})
+    det = retinaface_init(jax.random.PRNGKey(0), with_landmarks=True)
+    rec = arcface_init(jax.random.PRNGKey(1))
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    async with make_client(srv) as client:
+        data, _ = _jpg(rng, hw=(112, 112))
+        p = tmp_path / "mq.jpg"
+        p.write_bytes(data)
+        await client.post("/insert/user", data=json.dumps(
+            {"userId": "mq", "userName": "MQ"}))
+        await client.post("/insert/face", data=json.dumps(
+            {"data": [{"userId": "mq", "imgPath": str(p)}]}))
+        await client.get("/reload")
+        assert srv.gallery.quantized
+        assert len(srv.gallery._scales.sharding.device_set) == 8
+        r = await client.post("/recognize", data=data)
+        body = json.loads(await r.text())
+        assert body["userId"] == "mq"
+        assert body["similarity"] > 0.95
