@@ -4,8 +4,14 @@ The reference serves each HTTP request with its own batch-1 engine call
 (and races on shared buffers while doing it — SURVEY.md §2.12). On TPU the
 economics invert: one batch-8 fused program is ~3x cheaper per face than
 eight batch-1 dispatches (see bench.py), so the server funnels concurrent
-requests through this batcher: requests wait up to ``max_wait_ms`` for
-companions, then the batch runs on the single device executor thread.
+requests through this batcher.
+
+Scheduling is adaptive rather than fixed-wait: when the device executor is
+idle a request dispatches immediately (a lone request pays zero batching
+latency), and while a batch is in flight new arrivals accumulate and flush
+as one batch the moment the device frees up — so batch size tracks the
+actual arrival rate with no tuning. ``max_wait_ms`` remains only as a
+backstop timer.
 """
 
 from __future__ import annotations
@@ -19,19 +25,31 @@ class MicroBatcher:
     """Batches ``submit()`` items into ``fn_batch(list) -> list`` calls.
 
     ``fn_batch`` runs in ``executor`` (the device thread). Items must be
-    batchable by the callee (same static shape). Safe across concurrent
-    asyncio tasks; one flusher task per event loop.
+    batchable by the callee (same static shape); at most ``max_batch``
+    items per call. Safe across concurrent asyncio tasks.
     """
 
     def __init__(self, fn_batch: Callable[[List[Any]], List[Any]],
-                 executor, max_batch: int = 8, max_wait_ms: float = 3.0):
+                 executor, max_batch: int = 8, max_wait_ms: float = 3.0,
+                 adaptive: bool = True):
         self.fn_batch = fn_batch
         self.executor = executor
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        self.adaptive = adaptive
         self._pending: List[tuple] = []
         self._lock = threading.Lock()
         self._flush_scheduled = False
+        self._inflight = 0
+
+    def _drain_locked(self) -> Optional[List[tuple]]:
+        """Take up to max_batch pending items; caller holds the lock."""
+        if not self._pending:
+            return None
+        batch = self._pending[:self.max_batch]
+        del self._pending[:self.max_batch]
+        self._inflight += 1
+        return batch
 
     async def submit(self, item: Any) -> Any:
         loop = asyncio.get_running_loop()
@@ -40,8 +58,11 @@ class MicroBatcher:
         with self._lock:
             self._pending.append((item, fut))
             if len(self._pending) >= self.max_batch:
-                run_now = self._pending
-                self._pending = []
+                run_now = self._drain_locked()
+            elif self.adaptive and self._inflight == 0:
+                # device idle: dispatching now is strictly better than
+                # waiting for companions that may never come
+                run_now = self._drain_locked()
             elif not self._flush_scheduled:
                 self._flush_scheduled = True
                 loop.call_later(self.max_wait, self._flush_cb, loop)
@@ -52,8 +73,7 @@ class MicroBatcher:
     def _flush_cb(self, loop) -> None:
         with self._lock:
             self._flush_scheduled = False
-            batch = self._pending
-            self._pending = []
+            batch = self._drain_locked()
         if batch:
             loop.create_task(self._run(batch))
 
@@ -70,3 +90,11 @@ class MicroBatcher:
             for _, fut in batch:
                 if not fut.done():
                     fut.set_exception(e)
+        finally:
+            with self._lock:
+                self._inflight -= 1
+                next_batch = (self._drain_locked()
+                              if self._inflight == 0 else None)
+            if next_batch:
+                # accumulated arrivals flush the moment the device frees up
+                loop.create_task(self._run(next_batch))
