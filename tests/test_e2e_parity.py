@@ -157,3 +157,53 @@ def test_full_pipeline_parity_on_real_image(models, reference_dir):
     ours_embs = np.asarray(res.embeddings)[:nvalid]
     cos = (ours_embs * ref_embs).sum(-1)
     assert (1 - cos).max() < 1e-3, f"embedding cosine distance {(1 - cos)}"
+
+
+def test_bf16_serving_dtype_acceptance(models, reference_dir):
+    """bf16 is the dtype actually served (configs/default.json); the 1e-3
+    cosine budget must hold for it, not just f32 (VERDICT r1 item 3).
+
+    The detector and embedder are asserted separately on deterministic
+    inputs: with random weights the conf scores are near-tie noise, so a
+    ~1e-4 bf16 jitter can legitimately flip NMS *selection order* — that
+    reordering is score-margin behavior, not numerical failure (real
+    checkpoints separate faces by >>1e-2 score margins). Measured drift
+    (2026-08-16, recorded in docs/PARITY.md): embedder cosine distance
+    2.2e-4, L2 norm exact to 1e-6, detector conf drift 1.6e-4.
+    """
+    import jax.numpy as jnp
+    from facekit.models import retinaface_apply
+    from facekit.ops.preprocess import det_normalize
+    from facekit.ops.resize import letterbox
+
+    det_t, rec_t = models
+    frame = cv2.resize(cv2.imread(f"{reference_dir}/imgs/2.jpg"), (640, 480))
+    rp = convert_arcface_state_dict(rec_t.state_dict())
+    dp = convert_retinaface_state_dict(det_t.state_dict())
+
+    # -- embedder: fixed real-image crops, bf16 vs f32 ----------------------
+    rng = np.random.default_rng(0)
+    crops = np.stack([
+        frame[y:y + 112, x:x + 112]
+        for y, x in zip(rng.integers(0, 480 - 112, 8),
+                        rng.integers(0, 640 - 112, 8))])
+    embs = {}
+    for dt in ("float32", "bfloat16"):
+        pipe = FacePipeline(FaceKitConfig(compute_dtype=dt), dp, rp)
+        embs[dt] = pipe.embed_cropped_batch(crops).astype(np.float32)
+    e32, e16 = embs["float32"], embs["bfloat16"]
+    # the in-graph L2 norm invariant (conversion/arcface/model_irse.py:171)
+    np.testing.assert_allclose(np.linalg.norm(e16, axis=1), 1.0, atol=1e-2)
+    cos = (e32 * e16).sum(-1) / (
+        np.linalg.norm(e32, axis=1) * np.linalg.norm(e16, axis=1))
+    assert (1 - cos).max() < 1e-3, f"bf16 embed drift {(1 - cos)}"
+
+    # -- detector heads: raw outputs bf16 vs f32 ----------------------------
+    x = det_normalize(letterbox(jnp.asarray(frame, jnp.float32),
+                                (288, 320)))[None]
+    loc32, conf32, _ = retinaface_apply(dp, x, dtype=jnp.float32)
+    loc16, conf16, _ = retinaface_apply(dp, x, dtype=jnp.bfloat16)
+    assert np.abs(np.asarray(conf32, np.float32)
+                  - np.asarray(conf16, np.float32)).max() < 2e-3
+    assert np.abs(np.asarray(loc32, np.float32)
+                  - np.asarray(loc16, np.float32)).max() < 5e-3
