@@ -39,6 +39,12 @@ class FaceKitConfig:
     det_threshold_nms: float = 0.4
     det_threshold_bbox: float = 0.6
     det_maxFacesPerScene: int = 4
+    # NMS candidate window + exactness fallback (facekit extension; the
+    # reference processes all 3,780 anchors, src/retinaface.cpp:248-271 —
+    # with det_nmsExact the output equals the reference's for every input
+    # while the hot path stays O(topk^2); see ops/boxes.py)
+    det_nmsTopK: int = 128
+    det_nmsExact: bool = True
     det_weights: Optional[str] = None        # msgpack pytree; None -> random init
     det_network: str = "mobilenet0.25"       # mobilenet0.25 | slim | rfb
     det_withLandmarks: bool = True           # landmark head + 5-pt alignment

@@ -154,20 +154,48 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     return top_boxes, top_scores, keep
 
 
+def _nms_select(boxes: jnp.ndarray, masked: jnp.ndarray,
+                iou_threshold: float, top_k: int, max_faces: int):
+    """NMS over the ``top_k`` highest-scored candidates, reduced to the
+    final ``max_faces`` slots. Returns (boxes (F,4), scores (F,),
+    anchor_idx (F,), n_survivors_in_window)."""
+    k = min(top_k, masked.shape[0])
+    top_boxes, top_scores, keep = nms(boxes, masked, iou_threshold, k)
+    _, cand_idx = jax.lax.top_k(masked, k)    # global anchor ids, score order
+    kept_scores = jnp.where(keep, top_scores, -jnp.inf)
+    final_scores, sel = jax.lax.top_k(kept_scores, max_faces)
+    return (top_boxes[sel], final_scores, cand_idx[sel],
+            jnp.sum(kept_scores > -jnp.inf))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("frame_hw", "input_hw", "max_faces", "score_threshold",
-                     "iou_threshold", "nms_top_k"))
+                     "iou_threshold", "nms_top_k", "nms_exact"))
 def select_faces(loc: jnp.ndarray, conf: jnp.ndarray, anchors: jnp.ndarray,
                  frame_hw: Tuple[int, int], input_hw: Tuple[int, int],
                  max_faces: int = 4, score_threshold: float = 0.6,
                  iou_threshold: float = 0.4, nms_top_k: int = 128,
+                 nms_exact: bool = True,
                  ldm: Optional[jnp.ndarray] = None) -> Detections:
     """Full post-processing: threshold -> decode -> unletterbox -> clip -> NMS.
 
     One fused fixed-shape program replacing ``postprocessing`` at
     ``src/retinaface.cpp:154-208``. ``conf`` is the softmaxed (A, 2) output;
     face probability is channel 1 (``src/retinaface.cpp:160``).
+
+    Full-candidate parity: the reference greedy-NMSes *every*
+    above-threshold anchor (``src/retinaface.cpp:248-271``, up to 3,780),
+    while the fast path here processes the ``nms_top_k`` highest-scored.
+    Under greedy NMS a lower-scored candidate can never suppress a
+    higher-scored one, so survivors inside the window are exact, and the
+    truncation can only matter when MORE than ``nms_top_k`` candidates
+    clear the threshold AND fewer than ``max_faces`` of the windowed ones
+    survive (>= top_k - max_faces suppressions — a dense stack of
+    overlapping boxes). With ``nms_exact`` (default) that condition is
+    detected in-graph and a ``lax.cond`` falls back to NMS over all
+    anchors, making the output equal to the reference's for every input
+    while the hot path stays O(top_k^2).
     """
     face_scores = conf[:, 1]
     masked = jnp.where(face_scores > score_threshold, face_scores, -jnp.inf)
@@ -180,19 +208,25 @@ def select_faces(loc: jnp.ndarray, conf: jnp.ndarray, anchors: jnp.ndarray,
         points = decode_landmarks(ldm, anchors, input_hw)
         points = unletterbox_points(points, frame_hw, input_hw)
 
-    top_boxes, top_scores, keep = nms(boxes, masked, iou_threshold, nms_top_k)
-    # NMS returned candidates in score order; re-select landmarks by score idx
-    kept_scores = jnp.where(keep, top_scores, -jnp.inf)
-    final_scores, sel = jax.lax.top_k(kept_scores, max_faces)
-    final_boxes = top_boxes[sel]
+    n_anchors = masked.shape[0]
+    final_boxes, final_scores, anchor_sel, n_surv = _nms_select(
+        boxes, masked, iou_threshold, nms_top_k, max_faces)
+
+    if nms_exact and n_anchors > nms_top_k:
+        n_above = jnp.sum(masked > -jnp.inf)
+        need_full = (n_above > nms_top_k) & (n_surv < max_faces)
+
+        def full(_):
+            fb, fs, fi, _ns = _nms_select(boxes, masked, iou_threshold,
+                                          n_anchors, max_faces)
+            return fb, fs, fi
+
+        final_boxes, final_scores, anchor_sel = jax.lax.cond(
+            need_full, full,
+            lambda _: (final_boxes, final_scores, anchor_sel), None)
+
     valid = final_scores > -jnp.inf
-
-    out_lm = None
-    if ldm is not None:
-        k = min(nms_top_k, masked.shape[0])
-        _, cand_idx = jax.lax.top_k(masked, k)
-        out_lm = points[cand_idx][sel]
-
+    out_lm = points[anchor_sel] if ldm is not None else None
     final_scores = jnp.where(valid, final_scores, 0.0)
     return Detections(boxes=final_boxes, scores=final_scores, valid=valid,
                       landmarks=out_lm)

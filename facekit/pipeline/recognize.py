@@ -70,11 +70,13 @@ class FrameResult(NamedTuple):
     jax.jit,
     static_argnames=("frame_hw", "det_hw", "rec_hw", "max_faces",
                      "score_thr", "iou_thr", "use_landmarks", "align",
-                     "rec_network", "dtype", "return_crops", "det_network"))
+                     "rec_network", "dtype", "return_crops", "det_network",
+                     "nms_top_k", "nms_exact"))
 def _recognize_frame(det_params, rec_params, frame, *, frame_hw, det_hw,
                      rec_hw, max_faces, score_thr, iou_thr, use_landmarks,
                      align, rec_network, dtype, return_crops,
-                     det_network="mobilenet0.25"):
+                     det_network="mobilenet0.25", nms_top_k=128,
+                     nms_exact=True):
     frame = frame.astype(jnp.float32)
     x = letterbox(frame, det_hw)
     x = det_normalize(x)[None]
@@ -83,7 +85,8 @@ def _recognize_frame(det_params, rec_params, frame, *, frame_hw, det_hw,
     anchors = _detector_anchors(det_hw, det_network)
     det = select_faces(loc[0], conf[0], anchors, frame_hw, det_hw,
                        max_faces=max_faces, score_threshold=score_thr,
-                       iou_threshold=iou_thr, ldm=ldm0)
+                       iou_threshold=iou_thr, nms_top_k=nms_top_k,
+                       nms_exact=nms_exact, ldm=ldm0)
     if align and use_landmarks:
         faces = warp_align(frame, det.landmarks, rec_hw)
     else:
@@ -98,11 +101,13 @@ def _recognize_frame(det_params, rec_params, frame, *, frame_hw, det_hw,
     jax.jit,
     static_argnames=("frame_hw", "det_hw", "rec_hw", "max_faces",
                      "score_thr", "iou_thr", "use_landmarks", "align",
-                     "rec_network", "dtype", "return_crops", "det_network"))
+                     "rec_network", "dtype", "return_crops", "det_network",
+                     "nms_top_k", "nms_exact"))
 def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
                       rec_hw, max_faces, score_thr, iou_thr, use_landmarks,
                       align, rec_network, dtype, return_crops=False,
-                      det_network="mobilenet0.25"):
+                      det_network="mobilenet0.25", nms_top_k=128,
+                      nms_exact=True):
     """Batched variant: (N, H, W, 3) frames -> FrameResult with leading N.
 
     The throughput path: detector runs batch-N, all N*max_faces crops embed
@@ -121,7 +126,8 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
     def post(loc1, conf1, ldm1=None):
         return select_faces(loc1, conf1, anchors, frame_hw, det_hw,
                             max_faces=max_faces, score_threshold=score_thr,
-                            iou_threshold=iou_thr, ldm=ldm1)
+                            iou_threshold=iou_thr, nms_top_k=nms_top_k,
+                            nms_exact=nms_exact, ldm=ldm1)
 
     if ldm is not None:
         det = jax.vmap(post)(loc, conf, ldm)
@@ -201,14 +207,15 @@ def _constrain_batch(x, mesh, data_axis):
                      "score_thr", "iou_thr", "use_landmarks", "align",
                      "rec_network", "dtype", "return_crops", "k",
                      "use_pallas", "det_network", "mesh", "gallery_axis",
-                     "data_axis", "interpret"))
+                     "data_axis", "interpret", "nms_top_k", "nms_exact"))
 def _recognize_and_match(det_params, rec_params, gallery, count, frames, *,
                          frame_hw, det_hw, rec_hw, max_faces, score_thr,
                          iou_thr, use_landmarks, align, rec_network, dtype,
                          return_crops, k, use_pallas,
                          det_network="mobilenet0.25", gallery_scale=None,
                          mesh=None, gallery_axis="gallery",
-                         data_axis="data", interpret=False):
+                         data_axis="data", interpret=False, nms_top_k=128,
+                         nms_exact=True):
     """Single-dispatch serving program: frames -> detections + identities.
 
     Fuses the gallery search into the recognize program so embeddings never
@@ -229,7 +236,7 @@ def _recognize_and_match(det_params, rec_params, gallery, count, frames, *,
         rec_hw=rec_hw, max_faces=max_faces, score_thr=score_thr,
         iou_thr=iou_thr, use_landmarks=use_landmarks, align=align,
         rec_network=rec_network, dtype=dtype, return_crops=return_crops,
-        det_network=det_network)
+        det_network=det_network, nms_top_k=nms_top_k, nms_exact=nms_exact)
     n, f, d = res.embeddings.shape
     flat = res.embeddings.reshape(n * f, d)
     vals, idx = _match_queries(gallery, gallery_scale, flat, count, k=k,
@@ -306,7 +313,8 @@ class FacePipeline:
             score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
             use_landmarks=self.use_landmarks, align=self.align,
             rec_network=cfg.rec_network, dtype=self.dtype,
-            return_crops=return_crops, det_network=self.det_network)
+            return_crops=return_crops, det_network=self.det_network,
+            nms_top_k=cfg.det_nmsTopK, nms_exact=cfg.det_nmsExact)
 
     def recognize_frames(self, frames_bgr: np.ndarray,
                          return_crops: bool = False) -> FrameResult:
@@ -319,7 +327,8 @@ class FacePipeline:
             score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
             use_landmarks=self.use_landmarks, align=self.align,
             rec_network=cfg.rec_network, dtype=self.dtype,
-            return_crops=return_crops, det_network=self.det_network)
+            return_crops=return_crops, det_network=self.det_network,
+            nms_top_k=cfg.det_nmsTopK, nms_exact=cfg.det_nmsExact)
 
     def recognize_and_match(self, frames_bgr: np.ndarray, gallery_arr,
                             count: int, k: int = 1, use_pallas: bool = False,
@@ -345,7 +354,8 @@ class FacePipeline:
             return_crops=return_crops, k=k, use_pallas=use_pallas,
             det_network=self.det_network, gallery_scale=gallery_scale,
             mesh=mesh, gallery_axis=gallery_axis, data_axis=data_axis,
-            interpret=interpret)
+            interpret=interpret, nms_top_k=cfg.det_nmsTopK,
+            nms_exact=cfg.det_nmsExact)
 
     def embed_and_match(self, imgs_bgr: np.ndarray, gallery_arr, count: int,
                         k: int = 1, use_pallas: bool = False,

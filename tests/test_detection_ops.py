@@ -148,3 +148,93 @@ def test_select_faces_end_to_end(rng):
         np.asarray(det.scores)[:nvalid], ref_scores[:nvalid], rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(det.boxes)[:nvalid], ref_boxes[:nvalid], rtol=1e-4, atol=1e-3)
+
+
+def _synthetic_conf_anchors(boxes_px, scores, input_hw, total_anchors=None):
+    """Anchors whose loc=0 decode yields exactly ``boxes_px`` (frame ==
+    detector input so unletterbox is the identity)."""
+    h, w = input_hw
+    boxes_px = np.asarray(boxes_px, np.float32)
+    cx = (boxes_px[:, 0] + boxes_px[:, 2]) / 2 / w
+    cy = (boxes_px[:, 1] + boxes_px[:, 3]) / 2 / h
+    sx = (boxes_px[:, 2] - boxes_px[:, 0]) / w
+    sy = (boxes_px[:, 3] - boxes_px[:, 1]) / h
+    anchors = np.stack([cx, cy, sx, sy], -1)
+    conf_face = np.asarray(scores, np.float32)
+    if total_anchors and total_anchors > len(anchors):
+        pad = total_anchors - len(anchors)
+        anchors = np.concatenate(
+            [anchors, np.tile([[0.5, 0.5, 0.1, 0.1]], (pad, 1))], 0)
+        conf_face = np.concatenate([conf_face, np.zeros(pad, np.float32)])
+    conf = np.stack([1 - conf_face, conf_face], -1)
+    loc = np.zeros((len(anchors), 4), np.float32)
+    return (jnp.asarray(loc), jnp.asarray(conf),
+            jnp.asarray(anchors.astype(np.float32)))
+
+
+def test_select_faces_crowded_scene_beyond_topk(rng):
+    """>128 above-threshold candidates: output equals the full-candidate
+    reference greedy (src/retinaface.cpp:248-271 processes ALL anchors;
+    r1 truncated at 128 untested — VERDICT item 7)."""
+    input_hw = (288, 320)
+    n = 300
+    centers = rng.uniform(30, 250, size=(n, 2))
+    sizes = rng.uniform(10, 60, size=(n, 2))
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1)
+    boxes = np.clip(boxes, 0, [319, 287, 319, 287]).astype(np.float32)
+    scores = np.linspace(0.99, 0.62, n).astype(np.float32)
+    loc, conf, anchors = _synthetic_conf_anchors(boxes, scores, input_hw,
+                                                 total_anchors=400)
+
+    det = select_faces(loc, conf, anchors, input_hw, input_hw,
+                       max_faces=8, score_threshold=0.6, iou_threshold=0.4,
+                       nms_top_k=128, nms_exact=True)
+    dec = np.asarray(clip_boxes(unletterbox_boxes(
+        decode_boxes(loc, anchors, input_hw), input_hw, input_hw), input_hw))
+    mask = np.asarray(conf)[:, 1] > 0.6
+    ref_boxes, ref_scores = _nms_oracle(dec[mask], np.asarray(conf)[mask, 1],
+                                        0.4)
+    nv = int(np.asarray(det.valid).sum())
+    assert nv == min(8, len(ref_scores))
+    np.testing.assert_allclose(np.asarray(det.scores)[:nv],
+                               ref_scores[:nv], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(det.boxes)[:nv],
+                               ref_boxes[:nv], rtol=1e-4, atol=1e-3)
+
+
+def test_select_faces_exact_fallback_on_dense_stack():
+    """Pathological case: 200 identical stacked boxes (ranks 0-199) suppress
+    the whole top-128 window down to ONE survivor while 5 isolated faces
+    hide beyond rank 128. The exactness fallback must recover them; the
+    plain truncated path demonstrably cannot."""
+    input_hw = (288, 320)
+    stack = np.tile([[100.0, 100.0, 160.0, 160.0]], (200, 1))
+    isolated = np.array([[10, 10, 40, 40], [200, 10, 240, 50],
+                         [10, 200, 50, 240], [250, 200, 290, 240],
+                         [120, 220, 160, 260]], np.float32)
+    boxes = np.concatenate([stack, isolated], 0)
+    scores = np.concatenate([np.linspace(0.99, 0.9, 200),
+                             np.linspace(0.8, 0.7, 5)]).astype(np.float32)
+    loc, conf, anchors = _synthetic_conf_anchors(boxes, scores, input_hw,
+                                                 total_anchors=256)
+
+    exact = select_faces(loc, conf, anchors, input_hw, input_hw,
+                         max_faces=4, score_threshold=0.6, iou_threshold=0.4,
+                         nms_top_k=128, nms_exact=True)
+    # full-candidate oracle: stack top + all isolated, truncated to 4
+    dec = np.asarray(clip_boxes(unletterbox_boxes(
+        decode_boxes(loc, anchors, input_hw), input_hw, input_hw), input_hw))
+    mask = np.asarray(conf)[:, 1] > 0.6
+    ref_boxes, ref_scores = _nms_oracle(dec[mask], np.asarray(conf)[mask, 1],
+                                        0.4)
+    assert int(np.asarray(exact.valid).sum()) == 4
+    np.testing.assert_allclose(np.asarray(exact.scores), ref_scores[:4],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(exact.boxes), ref_boxes[:4],
+                               rtol=1e-4, atol=1e-3)
+
+    truncated = select_faces(loc, conf, anchors, input_hw, input_hw,
+                             max_faces=4, score_threshold=0.6,
+                             iou_threshold=0.4, nms_top_k=128,
+                             nms_exact=False)
+    assert int(np.asarray(truncated.valid).sum()) == 1  # why exact exists
