@@ -32,7 +32,7 @@ from facekit.ops.align import warp_align
 from facekit.ops.anchors import (RETINAFACE_MIN_SIZES, RETINAFACE_STEPS,
                                  SLIM_RFB_MIN_SIZES, SLIM_RFB_STEPS,
                                  generate_anchors)
-from facekit.ops.boxes import select_faces
+from facekit.ops.boxes import select_faces, select_faces_batch
 from facekit.ops.preprocess import det_normalize, rec_normalize
 from facekit.ops.resize import crop_resize, letterbox, resize_image
 
@@ -122,17 +122,13 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
     if not use_landmarks:
         ldm = None
     anchors = _detector_anchors(det_hw, det_network)
-
-    def post(loc1, conf1, ldm1=None):
-        return select_faces(loc1, conf1, anchors, frame_hw, det_hw,
-                            max_faces=max_faces, score_threshold=score_thr,
-                            iou_threshold=iou_thr, nms_top_k=nms_top_k,
-                            nms_exact=nms_exact, ldm=ldm1)
-
-    if ldm is not None:
-        det = jax.vmap(post)(loc, conf, ldm)
-    else:
-        det = jax.vmap(post)(loc, conf)
+    # batched NMS with the exactness fallback hoisted OUT of the per-frame
+    # vmap (vmap would lower its lax.cond to select and run the full-anchor
+    # NMS unconditionally — see select_faces_batch)
+    det = select_faces_batch(loc, conf, anchors, frame_hw, det_hw,
+                             max_faces=max_faces, score_threshold=score_thr,
+                             iou_threshold=iou_thr, nms_top_k=nms_top_k,
+                             nms_exact=nms_exact, ldm=ldm)
 
     if align and use_landmarks:
         faces = jax.vmap(lambda f, lm: warp_align(f, lm, rec_hw))(

@@ -238,3 +238,42 @@ def test_select_faces_exact_fallback_on_dense_stack():
                              iou_threshold=0.4, nms_top_k=128,
                              nms_exact=False)
     assert int(np.asarray(truncated.valid).sum()) == 1  # why exact exists
+
+
+def test_select_faces_batch_mixed_fallback():
+    """Batched NMS: one frame triggers the hoisted exactness fallback, the
+    other must keep its fast-path result (per-frame where-select)."""
+    from facekit.ops.boxes import select_faces_batch
+    input_hw = (288, 320)
+    stack = np.tile([[100.0, 100.0, 160.0, 160.0]], (200, 1))
+    isolated = np.array([[10, 10, 40, 40], [200, 10, 240, 50],
+                         [10, 200, 50, 240], [250, 200, 290, 240],
+                         [120, 220, 160, 260]], np.float32)
+    boxes = np.concatenate([stack, isolated], 0)
+    scores_a = np.concatenate([np.linspace(0.99, 0.9, 200),
+                               np.linspace(0.8, 0.7, 5)]).astype(np.float32)
+    # frame B: only the 5 isolated boxes above threshold (fast path exact)
+    scores_b = np.concatenate([np.zeros(200),
+                               np.linspace(0.95, 0.85, 5)]).astype(np.float32)
+    loc, conf_a, anchors = _synthetic_conf_anchors(boxes, scores_a, input_hw,
+                                                   total_anchors=256)
+    _, conf_b, _ = _synthetic_conf_anchors(boxes, scores_b, input_hw,
+                                           total_anchors=256)
+    locs = jnp.stack([loc, loc])
+    confs = jnp.stack([conf_a, conf_b])
+    det = select_faces_batch(locs, confs, anchors, input_hw, input_hw,
+                             max_faces=4, score_threshold=0.6,
+                             iou_threshold=0.4, nms_top_k=128,
+                             nms_exact=True)
+    dec = np.asarray(clip_boxes(unletterbox_boxes(
+        decode_boxes(loc, anchors, input_hw), input_hw, input_hw), input_hw))
+    for i, cf in enumerate((conf_a, conf_b)):
+        sc = np.asarray(cf)[:, 1]
+        mask = sc > 0.6
+        ref_boxes, ref_scores = _nms_oracle(dec[mask], sc[mask], 0.4)
+        nv = int(np.asarray(det.valid)[i].sum())
+        assert nv == min(4, len(ref_scores)), (i, nv)
+        np.testing.assert_allclose(np.asarray(det.scores)[i, :nv],
+                                   ref_scores[:nv], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(det.boxes)[i, :nv],
+                                   ref_boxes[:nv], rtol=1e-4, atol=1e-3)
