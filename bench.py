@@ -86,33 +86,46 @@ def bench_e2e(pipe, frames, iters: int = 50):
 
 
 def bench_search(n_rows: int = 1 << 20, batch: int = 16, iters: int = 20,
-                 use_pallas: bool = True):
+                 use_pallas: bool = True, dtype: str = "bfloat16"):
     """Dedup-proof search timing: every call gets UNIQUE queries (the
     serving tunnel caches identical remote executions), submitted pipelined
     with one sync at the end so per-call dispatch overhead amortizes and
     the device-side kernel time dominates."""
+    import functools
+
     import jax
     import jax.numpy as jnp
-    from facekit.ops.similarity import cosine_topk_pallas, cosine_topk_xla
+    from facekit.ops.similarity import (cosine_topk_int8_pallas,
+                                        cosine_topk_pallas, cosine_topk_xla,
+                                        quantize_rows_int8)
 
-    gallery = jax.random.normal(jax.random.PRNGKey(0), (n_rows, 512),
-                                jnp.bfloat16)
+    if dtype == "int8":
+        g32 = jax.random.normal(jax.random.PRNGKey(0), (n_rows, 512),
+                                jnp.float32)
+        gq, gs = quantize_rows_int8(g32)
+        fn = functools.partial(cosine_topk_int8_pallas, gq, gs)
+        qdtype = jnp.float32
+    else:
+        gallery = jax.random.normal(jax.random.PRNGKey(0), (n_rows, 512),
+                                    jnp.bfloat16)
+        base = cosine_topk_pallas if use_pallas else cosine_topk_xla
+        fn = functools.partial(base, gallery)
+        qdtype = jnp.bfloat16
     qs = [jax.random.normal(jax.random.PRNGKey(10 + i), (batch, 512),
-                            jnp.bfloat16) for i in range(iters + 1)]
+                            qdtype) for i in range(iters + 1)]
     count = jnp.int32(n_rows)
-    fn = cosine_topk_pallas if use_pallas else cosine_topk_xla
 
     @jax.jit
     def mix(qnext, v):
         # ties call j+1's input to call j's output -> searches serialize
         return qnext + (v[:, :1] * 1e-6).astype(qnext.dtype)
 
-    v, _ = fn(gallery, qs[-1], count, k=1)           # compile + warm
+    v, _ = fn(qs[-1], count, k=1)                    # compile + warm
     jax.block_until_ready(mix(qs[0], v))
     q = qs[0]
     t0 = time.perf_counter()
     for j in range(iters):
-        v, _ = fn(gallery, q, count, k=1)
+        v, _ = fn(q, count, k=1)
         q = mix(qs[(j + 1) % len(qs)], v)
     jax.block_until_ready(q)
     per_call = (time.perf_counter() - t0) / iters
@@ -148,7 +161,10 @@ def main():
                       + rng_np.integers(-4, 5, base.shape), 0, 255
                       ).astype(np.uint8) for _ in range(8)]
 
-    e2e_iters = 50 if on_tpu else 5
+    # the tunnel adds ~seconds of wall latency per blocking call; keep the
+    # wall loops short — the authoritative numbers are the device-side
+    # xplane profiles below (5 calls each)
+    e2e_iters = 8 if on_tpu else 5
     _log("single-frame latency bench...")
     times = bench_e2e(pipe, frames, iters=e2e_iters)
     p50_frame = _percentile(times, 50)
@@ -159,7 +175,7 @@ def main():
     res = pipe.recognize_frames(fb)
     res.embeddings.block_until_ready()
     bt = []
-    for j in range(e2e_iters // 2):
+    for j in range(max(e2e_iters // 2, 3)):
         fb2 = np.roll(fb, j + 1, axis=0).copy()
         fb2[0, 0, 0, 0] ^= 1  # perturb so the tunnel can't cache
         t0 = time.perf_counter()
@@ -167,12 +183,21 @@ def main():
         r.embeddings.block_until_ready()
         bt.append(time.perf_counter() - t0)
     p50_batch = _percentile(bt, 50)
-    faces_per_sec = cfg.det_maxFacesPerScene * len(frames) / p50_batch
+    # honest accounting (VERDICT r1 item 10): slots/sec is the compute done
+    # (padded det_maxFacesPerScene slots per frame); the measured valid-face
+    # count on THIS input is reported alongside, never conflated. With
+    # random-init weights (the reference ships no checkpoints) valid is
+    # typically 0 at the production threshold.
+    slots_per_sec = cfg.det_maxFacesPerScene * len(frames) / p50_batch
+    valid_faces_in_batch = int(np.asarray(res.valid).sum())
 
     extra = {
         "frame_p50_ms": p50_frame * 1e3,
-        "latency_faces_per_sec": cfg.det_maxFacesPerScene / p50_frame,
+        "latency_slots_per_sec": cfg.det_maxFacesPerScene / p50_frame,
         "batch8_p50_ms": p50_batch * 1e3,
+        "slots_per_batch": cfg.det_maxFacesPerScene * len(frames),
+        "measured_valid_faces_per_batch": valid_faces_in_batch,
+        "measured_valid_faces_per_sec": valid_faces_in_batch / p50_batch,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
@@ -188,53 +213,79 @@ def main():
             lambda j: pipe.recognize_frames(fbs[j]).embeddings, 5)
         if dev_t:
             extra["batch8_device_ms"] = dev_t * 1e3
-            extra["device_faces_per_sec"] = (
+            extra["device_slots_per_sec"] = (
                 cfg.det_maxFacesPerScene * len(frames) / dev_t)
-            extra["wall_faces_per_sec"] = faces_per_sec
+            extra["wall_slots_per_sec"] = slots_per_sec
             # report the device-truth number: tunnel wall-clock both caches
             # and under-reports (see CLAUDE.md); on production hosts the
             # wall number tracks the device number under pipelining
-            faces_per_sec = extra["device_faces_per_sec"]
+            slots_per_sec = extra["device_slots_per_sec"]
 
     if on_tpu:
         # 2^20 rows: tile-aligned like the production bucket ladder, so the
         # kernel sees the store's zero-copy layout
         _log("1M-gallery search bench (pallas)...")
-        pallas_times = bench_search(1 << 20, 16, 50, use_pallas=True)
+        pallas_times = bench_search(1 << 20, 16, 12, use_pallas=True)
         _log("1M-gallery search bench (xla)...")
-        xla_times = bench_search(1 << 20, 16, 50, use_pallas=False)
+        xla_times = bench_search(1 << 20, 16, 12, use_pallas=False)
+        _log("1M-gallery search bench (int8 pallas)...")
+        int8_times = bench_search(1 << 20, 16, 12, dtype="int8")
         extra["search_1M_b16_pallas_wall_ms"] = _percentile(pallas_times, 50) * 1e3
         extra["search_1M_b16_xla_wall_ms"] = _percentile(xla_times, 50) * 1e3
+        extra["search_1M_b16_int8_wall_ms"] = _percentile(int8_times, 50) * 1e3
 
         # device-side ground truth for the search kernels
         import jax.numpy as jnp
-        from facekit.ops.similarity import cosine_topk_pallas, cosine_topk_xla
-        g = jax.random.normal(jax.random.PRNGKey(0), (1 << 20, 512),
+        from facekit.ops.similarity import (cosine_topk_int8_pallas,
+                                            cosine_topk_pallas,
+                                            cosine_topk_xla,
+                                            quantize_rows_int8)
+        n_rows = 1 << 20
+        g = jax.random.normal(jax.random.PRNGKey(0), (n_rows, 512),
                               jnp.bfloat16)
+        gq, gsc = quantize_rows_int8(
+            jax.random.normal(jax.random.PRNGKey(1), (n_rows, 512),
+                              jnp.float32))
         qset = [jax.random.normal(jax.random.PRNGKey(100 + i), (16, 512),
                                   jnp.bfloat16) for i in range(5)]
-        cnt = jnp.int32(1 << 20)
+        qset32 = [q.astype(jnp.float32) for q in qset]
+        cnt = jnp.int32(n_rows)
         jax.block_until_ready(cosine_topk_pallas(g, qset[0], cnt, k=1))
         jax.block_until_ready(cosine_topk_xla(g, qset[0], cnt, k=1))
+        jax.block_until_ready(cosine_topk_int8_pallas(gq, gsc, qset32[0],
+                                                      cnt, k=1))
         _log("profiling search device time (pallas)...")
         tp = device_time_per_call(
             lambda j: cosine_topk_pallas(g, qset[j], cnt, k=1)[0], 5)
         _log("profiling search device time (xla)...")
         tx = device_time_per_call(
             lambda j: cosine_topk_xla(g, qset[j], cnt, k=1)[0], 5)
+        _log("profiling search device time (int8 pallas)...")
+        ti = device_time_per_call(
+            lambda j: cosine_topk_int8_pallas(gq, gsc, qset32[j], cnt,
+                                              k=1)[0], 5)
         if tp:
             extra["search_1M_b16_pallas_device_ms"] = tp * 1e3
+            extra["search_bf16_eff_GBps"] = n_rows * 512 * 2 / tp / 1e9
+            # regression floor: the bf16 kernel is HBM-bound at ~750 GB/s
+            # on v5e; below 600 GB/s something broke — fail the bench
+            assert extra["search_bf16_eff_GBps"] > 600, extra
         if tx:
             extra["search_1M_b16_xla_device_ms"] = tx * 1e3
+        if ti:
+            extra["search_1M_int8_pallas_device_ms"] = ti * 1e3
+            extra["search_int8_eff_GBps"] = (
+                n_rows * 512 + n_rows * 4) / ti / 1e9
+            assert extra["search_int8_eff_GBps"] > 600, extra
     else:  # CPU smoke: small gallery, xla path
         search_times = bench_search(10_000, 16, 5, use_pallas=False)
         extra["search_10k_b16_p50_ms_cpu"] = _percentile(search_times, 50) * 1e3
 
     print(json.dumps({
-        "metric": "faces/sec end-to-end (detect+align+embed)",
-        "value": round(faces_per_sec, 2),
-        "unit": "faces/sec",
-        "vs_baseline": round(faces_per_sec / 2000.0, 4),
+        "metric": "slots/sec end-to-end (detect+align+embed, padded slots)",
+        "value": round(slots_per_sec, 2),
+        "unit": "slots/sec",
+        "vs_baseline": round(slots_per_sec / 2000.0, 4),
         "extra": extra,
     }))
 

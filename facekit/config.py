@@ -56,6 +56,10 @@ class FaceKitConfig:
     rec_knownPersonThreshold: float = 0.65
     rec_weights: Optional[str] = None
     rec_network: str = "ir_50"               # ir_50|ir_101|ir_152|ir_se_50|...
+    # int8 post-training quantization of the embedder's conv weights
+    # (facekit's lower-precision serving point vs the reference's fp16
+    # engines; ~1.8e-3 cosine drift — see models/arcface.py)
+    rec_quantize: bool = False
 
     # --- batch-enrollment ("gen") mode (reference src/app.cpp:69-99) -------
     gen: bool = False

@@ -82,20 +82,55 @@ def _block_init(key, in_c: int, depth: int, stride: int, se: bool):
     return p
 
 
+def _conv(x, w, stride: int, padding: int):
+    """Dispatch on weight form: plain HWIO array, or {"q", "scale"} int8
+    pair produced by quantize_arcface_params (static at trace time)."""
+    if isinstance(w, dict):
+        return L.conv2d_int8(x, w["q"], w["scale"], stride=stride,
+                             padding=padding)
+    return L.conv2d(x, w, stride=stride, padding=padding)
+
+
 def _block_apply(x, p, stride: int):
     if "shortcut" in p:
-        sc = L.conv2d(x, p["shortcut"]["conv"], stride=stride, padding=0)
+        sc = _conv(x, p["shortcut"]["conv"], stride=stride, padding=0)
         sc = L.batch_norm(sc, p["shortcut"]["bn"])
     else:
         sc = L.strided_identity(x, stride)
     r = L.batch_norm(x, p["bn1"])
-    r = L.conv2d(r, p["conv1"], stride=1, padding=1)
+    r = _conv(r, p["conv1"], stride=1, padding=1)
     r = L.prelu(r, p["prelu"])
-    r = L.conv2d(r, p["conv2"], stride=stride, padding=1)
+    r = _conv(r, p["conv2"], stride=stride, padding=1)
     r = L.batch_norm(r, p["bn2"])
     if "se" in p:
         r = _se_apply(r, p["se"])
     return r + sc
+
+
+def quantize_arcface_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Post-training int8 weight quantization of every backbone conv
+    (per-output-channel scales); BN/PReLU/SE/linear stay float. Activations
+    quantize dynamically per tensor inside conv2d_int8. Apply with the same
+    ``arcface_apply`` — the weight form dispatches (facekit's lower-precision
+    serving point vs the reference's fp16 engines,
+    conversion/arcface/torch2trt.py:42-44). Drift bounds:
+    tests/test_model_parity.py::test_arcface_int8_drift."""
+    def q(w):
+        wq, scale = L.quantize_conv_weight(w)
+        return {"q": wq, "scale": scale}
+
+    out: Dict[str, Any] = {
+        "input": dict(params["input"], conv=q(params["input"]["conv"])),
+        "blocks": [],
+        "output": params["output"],
+    }
+    for p in params["blocks"]:
+        blk = dict(p, conv1=q(p["conv1"]), conv2=q(p["conv2"]))
+        if "shortcut" in p:
+            blk["shortcut"] = dict(p["shortcut"],
+                                   conv=q(p["shortcut"]["conv"]))
+        out["blocks"].append(blk)
+    return out
 
 
 def arcface_init(key, network: str = "ir_50", input_size: int = 112,
@@ -146,7 +181,7 @@ def arcface_apply(params: Dict[str, Any], x: jnp.ndarray,
     specs = _network_specs(network)
     x = x.astype(dtype)
     p_in = params["input"]
-    x = L.conv2d(x, p_in["conv"], stride=1, padding=1)
+    x = _conv(x, p_in["conv"], stride=1, padding=1)
     x = L.batch_norm(x, p_in["bn"])
     x = L.prelu(x, p_in["prelu"])
     for p_blk, (_, _, stride) in zip(params["blocks"], specs):

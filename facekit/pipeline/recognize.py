@@ -287,6 +287,9 @@ class FacePipeline:
                  rec_params: Dict[str, Any]):
         self.config = config
         self.det_params = det_params
+        if getattr(config, "rec_quantize", False):
+            from facekit.models.arcface import quantize_arcface_params
+            rec_params = quantize_arcface_params(rec_params)
         self.rec_params = rec_params
         self.det_network = config.det_network
         self.use_landmarks = ("ldm_head" in det_params
