@@ -221,6 +221,21 @@ def main():
             # wall number tracks the device number under pipelining
             slots_per_sec = extra["device_slots_per_sec"]
 
+        # opt-in int8-embedder serving point (rec_quantize; ~1.8e-3 cosine
+        # drift, docs/PARITY.md) — the headline stays the default bf16 path
+        _log("profiling batch-8 int8-embedder device time...")
+        from dataclasses import replace as _cfg_replace
+        pipe_q = FacePipeline(_cfg_replace(cfg, rec_quantize=True),
+                              det, rec)
+        pipe_q.align = True
+        pipe_q.recognize_frames(fbs[0]).embeddings.block_until_ready()
+        dev_q = device_time_per_call(
+            lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
+        if dev_q:
+            extra["batch8_int8_embedder_device_ms"] = dev_q * 1e3
+            extra["int8_embedder_slots_per_sec"] = (
+                cfg.det_maxFacesPerScene * len(frames) / dev_q)
+
     if on_tpu:
         # 2^20 rows: tile-aligned like the production bucket ladder, so the
         # kernel sees the store's zero-copy layout
