@@ -228,7 +228,11 @@ def main():
         pipe_q = FacePipeline(_cfg_replace(cfg, rec_quantize=True),
                               det, rec)
         pipe_q.align = True
-        pipe_q.recognize_frames(fbs[0]).embeddings.block_until_ready()
+        # warm on an input NOT in the profiled set — the tunnel serves
+        # identical executions from cache, which would deflate the profile
+        warm = np.roll(fb, 11, axis=0).copy()
+        warm[0, 3, 3, 0] ^= 1
+        pipe_q.recognize_frames(warm).embeddings.block_until_ready()
         dev_q = device_time_per_call(
             lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
         if dev_q:
@@ -261,13 +265,16 @@ def main():
         gq, gsc = quantize_rows_int8(
             jax.random.normal(jax.random.PRNGKey(1), (n_rows, 512),
                               jnp.float32))
+        # qset[5] is the warm-up input; the profiled calls use qset[0..4]
+        # only (identical remote executions are served from cache and
+        # would deflate the measured device time by 1/n_calls)
         qset = [jax.random.normal(jax.random.PRNGKey(100 + i), (16, 512),
-                                  jnp.bfloat16) for i in range(5)]
+                                  jnp.bfloat16) for i in range(6)]
         qset32 = [q.astype(jnp.float32) for q in qset]
         cnt = jnp.int32(n_rows)
-        jax.block_until_ready(cosine_topk_pallas(g, qset[0], cnt, k=1))
-        jax.block_until_ready(cosine_topk_xla(g, qset[0], cnt, k=1))
-        jax.block_until_ready(cosine_topk_int8_pallas(gq, gsc, qset32[0],
+        jax.block_until_ready(cosine_topk_pallas(g, qset[5], cnt, k=1))
+        jax.block_until_ready(cosine_topk_xla(g, qset[5], cnt, k=1))
+        jax.block_until_ready(cosine_topk_int8_pallas(gq, gsc, qset32[5],
                                                       cnt, k=1))
         _log("profiling search device time (pallas)...")
         tp = device_time_per_call(

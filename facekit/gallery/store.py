@@ -13,8 +13,8 @@ Reload semantics match the reference's ``/reload`` route
 atomically swap it in — concurrent searches keep using the old array until
 the swap (arrays are immutable), which also fixes the reference's
 unsynchronized-shared-state race (SURVEY.md §2.12). ``add`` within the
-current capacity is an in-place ``dynamic_update_slice`` with a donated
-buffer (one row over PCIe/ICI, not a full-gallery re-upload); only bucket
+current capacity is a device-side ``dynamic_update_slice`` (no host
+re-upload; the old array stays alive for snapshot holders); only bucket
 growth rebuilds.
 """
 
@@ -42,14 +42,21 @@ def _bucket_capacity(n: int, buckets: Sequence[int]) -> int:
     return ((n + top - 1) // top) * top
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _set_row(arr: jax.Array, row: jax.Array, i: jnp.ndarray) -> jax.Array:
-    """In-place (donated) single-row update; sharding propagates from arr."""
+    """Single-row update; sharding propagates from arr.
+
+    Deliberately NOT donated: outstanding ``snapshot()`` holders (and any
+    fused program mid-flight) must keep reading the previous array — the
+    store's whole concurrency story is immutable arrays + atomic swap.
+    The cost is one device-side HBM copy of the bucket (no host round
+    trip; ~30x cheaper than the r1 full host rebuild + re-upload).
+    """
     return jax.lax.dynamic_update_slice(
         arr, row[None].astype(arr.dtype), (i, jnp.int32(0)))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _set_scalar(vec: jax.Array, val: jnp.ndarray, i: jnp.ndarray) -> jax.Array:
     return jax.lax.dynamic_update_slice(
         vec, jnp.reshape(val, (1,)).astype(vec.dtype), (i,))
@@ -151,10 +158,11 @@ class GalleryStore:
     def add(self, name: str, embedding: np.ndarray) -> None:
         """Append one row (reference addEmbedding, src/arcface.cpp:150-160).
 
-        Within the current capacity bucket this is an O(row) donated
-        ``dynamic_update_slice`` on device (no full re-upload — at 1M rows
-        a rebuild-per-face would move ~1 GB); crossing a bucket boundary
-        rebuilds at the next capacity.
+        Within the current capacity bucket this is a device-side
+        ``dynamic_update_slice`` — one HBM-local copy, no host re-upload
+        (at 1M rows the r1 rebuild-per-face moved ~1 GB over the host
+        link). Crossing a bucket boundary rebuilds at the next capacity.
+        The previous array is left intact for concurrent snapshot holders.
         """
         emb = np.asarray(embedding, np.float32).reshape(1, self.embed_dim)
         with self._lock:

@@ -128,12 +128,13 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
     formulation on TPU.
 
     Valid for ALL in-plane rotations: the decomposition degenerates as the
-    rotation approaches 90 deg (``d`` -> 0), so the nearest multiple of
+    rotation approaches +-90 deg (``d`` -> 0), so the nearest multiple of
     90 deg is factored out per face in-graph — the crop window is rotated
     by k*90 (an exact, gather-free layout op) and its window-space
-    landmarks transformed to match, leaving a residual rotation within
-    +-45 deg where the shear passes are well-conditioned. (r1 merely
-    clamped ``d`` and degraded beyond ~60 deg — VERDICT item 6.)
+    landmarks transformed to match, guaranteeing |cos(residual)| >= cos 45
+    (the residual may sit near 0 or near 180 deg; both are
+    well-conditioned for the shear passes — only +-90 is degenerate).
+    (r1 merely clamped ``d`` and degraded beyond ~60 deg — VERDICT item 6.)
     """
     oh, ow = out_hw
     c_win = window
@@ -170,9 +171,12 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
         scy = (hiy - loy) / c_win
         lw = jnp.stack([(lm[:, 0] - lox + 0.5) / scx - 0.5,
                         (lm[:, 1] - loy + 0.5) / scy - 0.5], axis=1)
-        # factor out the nearest 90-deg multiple: rotate the window content
-        # (exact layout op) + landmarks by the same k*90 so the residual
-        # rotation seen by the shear passes is within +-45 deg
+        # Factor out the nearest 90-deg multiple: rotate the window content
+        # (exact layout op) and its landmarks by the same k*90. What this
+        # guarantees is |cos(residual)| >= cos 45 deg — the residual may
+        # land near 0 OR near 180 deg (a point reflection, which the
+        # linear passes resample exactly); only |d| ~ 0 (residual near
+        # +-90) is degenerate, and that can no longer occur.
         m0 = umeyama(lw, template)
         theta = jnp.arctan2(m0[1, 0], m0[0, 0])
         q = jnp.mod(jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32), 4)
@@ -180,9 +184,9 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
         x_, y_ = lw[:, 0], lw[:, 1]
         lws = jnp.stack([
             lw,                                       # k=0: identity
-            jnp.stack([y_, c1 - x_], 1),              # k=1: R(-90)
-            jnp.stack([c1 - x_, c1 - y_], 1),         # k=2: R(180)
-            jnp.stack([c1 - y_, x_], 1)], 0)          # k=3: R(+90)
+            jnp.stack([y_, c1 - x_], 1),              # k=1
+            jnp.stack([c1 - x_, c1 - y_], 1),         # k=2: point reflection
+            jnp.stack([c1 - y_, x_], 1)], 0)          # k=3
         wins4 = jnp.stack([win, jnp.rot90(win), jnp.rot90(win, 2),
                            jnp.rot90(win, 3)], 0)
         win = wins4[q]

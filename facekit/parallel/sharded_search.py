@@ -76,7 +76,8 @@ def sharded_cosine_topk(gallery: jnp.ndarray, queries: jnp.ndarray,
     n_local = n // shards
     quantized = scales is not None
 
-    def local_fn(g_local, q, cnt, s_local):
+    def local_fn(g_local, q, cnt, *rest):
+        s_local = rest[0] if rest else None
         idx = jax.lax.axis_index(axis)
         local_count = jnp.clip(cnt[0] - idx * n_local, 0, n_local)
         if quantized:
@@ -103,17 +104,16 @@ def sharded_cosine_topk(gallery: jnp.ndarray, queries: jnp.ndarray,
         return vv, ii
 
     qspec = P(query_axis, None) if query_axis is not None else P()
-    if scales is None:
-        # shard_map needs a concrete operand; a zero-length row vector
-        # keeps the spec structure without shipping data
-        scales = jnp.zeros((n,), jnp.float32)
+    # scales ride along only for quantized galleries (sharded with the rows)
+    extra_args = (scales,) if quantized else ()
+    extra_specs = (P(axis),) if quantized else ()
     # check_vma=False: outputs are value-replicated over the gallery axis
     # via the all_gather+merge, which the static checker can't prove
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis, None), qspec, P(), P(axis)),
+        in_specs=(P(axis, None), qspec, P()) + extra_specs,
         out_specs=(qspec, qspec),
         check_vma=False,
     )
     return fn(gallery, queries, jnp.reshape(count, (1,)).astype(jnp.int32),
-              scales)
+              *extra_args)

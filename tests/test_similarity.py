@@ -213,3 +213,18 @@ class TestIncrementalAppend:
         assert len(store._device_arr.sharding.device_set) == 8
         vals, idx, names = store.search(jnp.asarray(emb[2:3]), k=1)
         assert names[idx[0, 0]] == "c"
+
+    def test_snapshot_survives_concurrent_add(self, rng):
+        """A snapshot taken before add() must stay readable: the store's
+        concurrency contract is immutable arrays + atomic swap, so the
+        in-bucket append may NOT donate (delete) the live buffer."""
+        store = GalleryStore(dtype="float32", use_pallas=False, buckets=(64,))
+        emb = _norm_rows(rng.normal(size=(4, 512)).astype(np.float32))
+        store.load(["a", "b", "c"], emb[:3])
+        snap = store.snapshot()
+        store.add("d", emb[3])
+        # the old array is still alive and holds the pre-add contents
+        old = np.asarray(snap.arr)
+        np.testing.assert_array_equal(old[3], np.zeros(512, np.float32))
+        vals, idx, names = store.search(jnp.asarray(emb[3:4]), k=1)
+        assert names[idx[0, 0]] == "d"
