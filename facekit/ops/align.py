@@ -128,13 +128,12 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
     formulation on TPU.
 
     Valid for ALL in-plane rotations: the decomposition degenerates as the
-    rotation approaches +-90 deg (``d`` -> 0), so the nearest multiple of
-    90 deg is factored out per face in-graph — the crop window is rotated
-    by k*90 (an exact, gather-free layout op) and its window-space
-    landmarks transformed to match, guaranteeing |cos(residual)| >= cos 45
-    (the residual may sit near 0 or near 180 deg; both are
-    well-conditioned for the shear passes — only +-90 is degenerate).
-    (r1 merely clamped ``d`` and degraded beyond ~60 deg — VERDICT item 6.)
+    rotation approaches +-90 deg (pass B's coefficient ~ cos(theta) -> 0);
+    per face, when |cos| < |sin| the window is transposed (one layout op)
+    and the inverse map's rows swapped, making the coefficient ~ sin(theta)
+    instead — whichever branch is selected is well-conditioned
+    (|coefficient| >= cos 45 / scale). r1 merely clamped the coefficient
+    and degraded beyond ~60 deg — VERDICT item 6.
     """
     oh, ow = out_hw
     c_win = window
@@ -171,30 +170,23 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
         scy = (hiy - loy) / c_win
         lw = jnp.stack([(lm[:, 0] - lox + 0.5) / scx - 0.5,
                         (lm[:, 1] - loy + 0.5) / scy - 0.5], axis=1)
-        # Factor out the nearest 90-deg multiple: rotate the window content
-        # (exact layout op) and its landmarks by the same k*90. What this
-        # guarantees is |cos(residual)| >= cos 45 deg — the residual may
-        # land near 0 OR near 180 deg (a point reflection, which the
-        # linear passes resample exactly); only |d| ~ 0 (residual near
-        # +-90) is degenerate, and that can no longer occur.
-        m0 = umeyama(lw, template)
-        theta = jnp.arctan2(m0[1, 0], m0[0, 0])
-        q = jnp.mod(jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32), 4)
-        c1 = jnp.float32(c_win - 1)
-        x_, y_ = lw[:, 0], lw[:, 1]
-        lws = jnp.stack([
-            lw,                                       # k=0: identity
-            jnp.stack([y_, c1 - x_], 1),              # k=1
-            jnp.stack([c1 - x_, c1 - y_], 1),         # k=2: point reflection
-            jnp.stack([c1 - y_, x_], 1)], 0)          # k=3
-        wins4 = jnp.stack([win, jnp.rot90(win), jnp.rot90(win, 2),
-                           jnp.rot90(win, 3)], 0)
-        win = wins4[q]
-        m = umeyama(lws[q], template)
+        m = umeyama(lw, template)
         mi = _invert_affine(m)
+        # Degeneracy guard, valid for EVERY in-plane rotation: pass B's
+        # coefficient d = mi[1,1] ~ cos(theta)/s vanishes near +-90 deg.
+        # There, swap the roles of the window axes instead — transpose the
+        # window (one layout op) and swap the rows of the inverse map,
+        # after which the coefficient is mi[0,1] ~ sin(theta)/s. One of
+        # |cos|, |sin| is always >= cos 45 deg, so whichever branch is
+        # selected is well-conditioned (the sign is irrelevant; theta near
+        # 180 deg needs no handling at all). r1 merely clamped d and
+        # degraded beyond ~60 deg — VERDICT item 6.
+        swap = jnp.abs(mi[1, 1]) < jnp.abs(mi[0, 1])
+        mi = jnp.where(swap, mi[::-1], mi)
+        win = jnp.where(swap, jnp.transpose(win, (1, 0, 2)), win)
         a, b, e = mi[0, 0], mi[0, 1], mi[0, 2]
         c, d, f = mi[1, 0], mi[1, 1], mi[1, 2]
-        d = jnp.where(jnp.abs(d) < 1e-3, 1e-3, d)  # guard near-90deg
+        d = jnp.where(jnp.abs(d) < 1e-3, 1e-3, d)  # unreachable belt+braces
         beta = b / d
         alpha = a - beta * c
         gamma = e - beta * f
