@@ -18,7 +18,11 @@ from facekit.train import make_train_step, train_state_init
 from facekit.weights.io import load_params, save_params
 
 
-def test_train_checkpoint_serve_roundtrip(rng, tmp_path):
+def test_train_checkpoint_serve_roundtrip(tmp_path):
+    # own deterministic rng: the shared session fixture's state depends on
+    # which tests ran before, and SGD at tiny batch sizes is sensitive to
+    # the data draw
+    rng = np.random.default_rng(42)
     n_ids, n_query = 6, 2
     # synthetic identities: distinct base "faces" in pixel space; samples
     # are the base plus small per-sample noise
