@@ -135,10 +135,16 @@ class GalleryStore:
             buf[:n] = self._host_buf[:n]
             self._host_buf = buf
         if self.quantized:
-            dev, scales = quantize_rows_int8(jnp.asarray(self._host_buf))
+            # copy for the same reason as below: the jitted quantize reads
+            # its input asynchronously, racing later in-place host writes
+            dev, scales = quantize_rows_int8(jnp.array(self._host_buf))
             self._scales = self._place(scales, is_rows=True)
         else:
-            dev = jnp.asarray(self._host_buf, dtype=self.dtype)
+            # jnp.array (copy) rather than jnp.asarray: on CPU a same-dtype
+            # asarray can be ZERO-COPY, leaving the device gallery aliased
+            # to self._host_buf — which add() then mutates in place,
+            # corrupting live snapshots
+            dev = jnp.array(self._host_buf, dtype=self.dtype)
         self._device_arr = self._place(dev)
 
     # -- mutation (mirrors addEmbedding/resetEmbeddings/initMatMul) ----------
@@ -178,7 +184,7 @@ class GalleryStore:
                 self._rebuild()
                 return
             self._host_buf[i] = emb[0]
-            row = jnp.asarray(emb[0])
+            row = jnp.array(emb[0])   # copy: emb may view the caller's buffer
             if self.quantized:
                 q, s = quantize_rows_int8(row[None])
                 self._device_arr = _set_row(self._device_arr, q[0],
