@@ -1,5 +1,7 @@
 """Native C++ host-ops vs cv2/numpy/JAX oracles."""
 
+import os
+
 import cv2
 import numpy as np
 import jax.numpy as jnp
@@ -53,3 +55,91 @@ def test_native_gallery_top1(rng):
     ref = queries @ gallery.T
     np.testing.assert_array_equal(idx, ref.argmax(1))
     np.testing.assert_allclose(scores, ref.max(1), rtol=1e-5)
+
+
+class TestNativeClient:
+    """Build the C++ demo client and drive it against a live server —
+    the reference's client-process e2e check (src/main.cpp:11-56), natively."""
+
+    @pytest.fixture(scope="class")
+    def client_bin(self, tmp_path_factory):
+        import subprocess
+        src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "facekit", "native", "client.cpp")
+        out = str(tmp_path_factory.mktemp("bin") / "facekit_client")
+        try:
+            subprocess.run(["g++", "-O2", "-o", out, src], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:
+            pytest.skip(f"no C++ toolchain: {e}")
+        return out
+
+    async def test_http_and_ws_against_live_server(self, client_bin,
+                                                   tmp_path_factory,
+                                                   tmp_path, rng):
+        import asyncio
+        import json
+        import cv2
+        import jax
+        from aiohttp.test_utils import TestClient, TestServer
+        from facekit.config import FaceKitConfig
+        from facekit.models import arcface_init, retinaface_init
+        from facekit.server import FaceServer, make_app
+
+        cfg = FaceKitConfig(
+            database_path=str(tmp_path_factory.mktemp("nc") / "nc.db"),
+            input_frameWidth=320, input_frameHeight=240,
+            det_inputShape=(3, 192, 192), compute_dtype="float32",
+            gallery_dtype="float32", use_pallas_search=False)
+        srv = FaceServer(cfg,
+                         det_params=retinaface_init(jax.random.PRNGKey(0)),
+                         rec_params=arcface_init(jax.random.PRNGKey(1)),
+                         warmup=False)
+        img = rng.integers(0, 256, size=(112, 112, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        img_path = tmp_path / "native.jpg"
+        img_path.write_bytes(buf.tobytes())
+
+        client = TestClient(TestServer(make_app(srv)))
+        await client.start_server()
+        try:
+            await client.post("/insert/user", data=json.dumps(
+                {"userId": "native", "userName": "Native"}))
+            await client.post("/insert/face", data=json.dumps(
+                {"data": [{"userId": "native",
+                           "imgPath": str(img_path)}]}))
+            await client.get("/reload")
+            host, port = client.server.host, client.server.port
+
+            async def run_native(*extra):
+                proc = await asyncio.create_subprocess_exec(
+                    client_bin, host, str(port), str(img_path), *extra,
+                    stdout=asyncio.subprocess.PIPE,
+                    stderr=asyncio.subprocess.PIPE)
+                out, err = await asyncio.wait_for(proc.communicate(), 120)
+                assert proc.returncode == 0, err.decode()
+                return out.decode().strip().splitlines()
+
+            # HTTP /recognize
+            lines = await run_native("--repeat", "2")
+            assert len(lines) == 2
+            for ln in lines:
+                body = json.loads(ln)
+                assert body["userId"] == "native"
+                assert body["similarity"] > 0.95
+
+            # WS /inference (full-frame random image; reply is json or null)
+            frame = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
+            ok, fbuf = cv2.imencode(".jpg", frame)
+            fpath = tmp_path / "frame.jpg"
+            fpath.write_bytes(fbuf.tobytes())
+            proc = await asyncio.create_subprocess_exec(
+                client_bin, host, str(port), str(fpath), "--ws",
+                stdout=asyncio.subprocess.PIPE,
+                stderr=asyncio.subprocess.PIPE)
+            out, err = await asyncio.wait_for(proc.communicate(), 180)
+            assert proc.returncode == 0, err.decode()
+            reply = out.decode().strip()
+            assert reply == "null" or "userId" in json.loads(reply)
+        finally:
+            await client.close()
