@@ -1,0 +1,188 @@
+"""Serialized serving programs ("engines").
+
+The reference ships its models as prebuilt TensorRT ``.engine`` blobs,
+deserialized at startup (``src/arcface.cpp:45-69``, ``src/retinaface.cpp:
+31-55``) — an ahead-of-time compiled, config-frozen serving program. The
+facekit analog is a ``jax.export`` StableHLO artifact of the fused serving
+program: config geometry and thresholds are frozen in, shapes are static,
+and the file can be loaded and called without the model-building Python
+code. Unlike TRT engines the weights stay external (the msgpack pytree
+from facekit.weights) and the artifact is portable across JAX versions and
+platforms per jax.export's compatibility guarantees.
+
+Two programs are exportable, matching the two engines the reference loads:
+
+  * ``recognize``: (det_params, rec_params, frames (B, H, W, 3) u8)
+      -> (boxes, scores, valid, embeddings)  — the WS /inference hot path;
+  * ``embed``: (rec_params, crops (B, rec_h, rec_w, 3) u8) -> (B, 512)
+      — the POST /recognize hot path.
+
+CLI:  python -m facekit.engine export -c config.json -o engines/ [-b 8]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from facekit.config import FaceKitConfig
+
+_MAGIC = "facekit-engine-v1"
+
+
+def _sds_tree(tree):
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype),
+        tree)
+
+
+def export_recognize_engine(pipeline, batch_size: int,
+                            platforms: Optional[Sequence[str]] = None):
+    """Export the fused detect->align->embed program at a fixed batch.
+
+    Returns (serialized bytes, metadata dict). ``pipeline`` is a
+    FacePipeline; its static config (shapes, thresholds, network choices)
+    is frozen into the artifact, exactly like engine-build-time flags in
+    the reference's conversion step (conversion/*/torch2trt.py).
+    """
+    from facekit.pipeline.recognize import _recognize_frames
+
+    cfg = pipeline.config
+    fh, fw = cfg.frame_hw
+
+    def fn(det_params, rec_params, frames):
+        res = _recognize_frames(
+            det_params, rec_params, frames,
+            frame_hw=cfg.frame_hw, det_hw=cfg.det_hw, rec_hw=cfg.rec_hw,
+            max_faces=cfg.det_maxFacesPerScene,
+            score_thr=cfg.det_threshold_bbox,
+            iou_thr=cfg.det_threshold_nms,
+            use_landmarks=pipeline.use_landmarks, align=pipeline.align,
+            rec_network=cfg.rec_network, dtype=pipeline.dtype,
+            return_crops=False, det_network=pipeline.det_network,
+            nms_top_k=cfg.det_nmsTopK, nms_exact=cfg.det_nmsExact)
+        return res.boxes, res.scores, res.valid, res.embeddings
+
+    args = (_sds_tree(pipeline.det_params), _sds_tree(pipeline.rec_params),
+            jax.ShapeDtypeStruct((batch_size, fh, fw, 3), jnp.uint8))
+    kw = {"platforms": list(platforms)} if platforms else {}
+    exp = jax_export.export(jax.jit(fn), **kw)(*args)
+    meta = {
+        "magic": _MAGIC,
+        "program": "recognize",
+        "batch_size": batch_size,
+        "frame_hw": list(cfg.frame_hw),
+        "max_faces": cfg.det_maxFacesPerScene,
+        "det_network": pipeline.det_network,
+        "rec_network": cfg.rec_network,
+        "compute_dtype": cfg.compute_dtype,
+        "platforms": list(exp.platforms),
+    }
+    return exp.serialize(), meta
+
+
+def export_embed_engine(pipeline, batch_size: int,
+                        platforms: Optional[Sequence[str]] = None):
+    """Export the crop->embedding program (the /recognize path)."""
+    from facekit.models.arcface import arcface_apply
+    from facekit.ops.preprocess import rec_normalize
+
+    cfg = pipeline.config
+    rh, rw = cfg.rec_hw
+
+    def fn(rec_params, crops):
+        return arcface_apply(rec_params,
+                             rec_normalize(crops.astype(jnp.float32)),
+                             network=cfg.rec_network, dtype=pipeline.dtype)
+
+    args = (_sds_tree(pipeline.rec_params),
+            jax.ShapeDtypeStruct((batch_size, rh, rw, 3), jnp.uint8))
+    kw = {"platforms": list(platforms)} if platforms else {}
+    exp = jax_export.export(jax.jit(fn), **kw)(*args)
+    meta = {
+        "magic": _MAGIC,
+        "program": "embed",
+        "batch_size": batch_size,
+        "rec_hw": list(cfg.rec_hw),
+        "rec_network": cfg.rec_network,
+        "compute_dtype": cfg.compute_dtype,
+        "platforms": list(exp.platforms),
+    }
+    return exp.serialize(), meta
+
+
+def save_engine(path: str, blob: bytes, meta: Dict[str, Any]) -> None:
+    with open(path, "wb") as f:
+        f.write(blob)
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_engine(path: str) -> Tuple[Any, Dict[str, Any]]:
+    """Deserialize an engine; returns (callable, metadata).
+
+    The callable takes the same arguments the export closed over
+    (see meta["program"]). Tracing is skipped entirely; XLA compilation
+    for the local device happens once on first call (and hits the
+    persistent compilation cache, matching the reference's instant
+    deserializeCudaEngine startup).
+    """
+    with open(path, "rb") as f:
+        blob = f.read()
+    meta = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+        if meta.get("magic") != _MAGIC:
+            raise ValueError(f"{path}: not a facekit engine")
+    exported = jax_export.deserialize(blob)
+    return exported.call, meta
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    from facekit.config import load_config
+    from facekit.models import arcface_init, retinaface_init
+    from facekit.pipeline import FacePipeline
+    from facekit.weights import load_params
+
+    ap = argparse.ArgumentParser(
+        "facekit.engine", description="export serving engines")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    ex = sub.add_parser("export")
+    ex.add_argument("-c", "--config", default=None)
+    ex.add_argument("-o", "--out-dir", default="engines")
+    ex.add_argument("-b", "--batch-size", type=int, default=8)
+    ex.add_argument("--platforms", default=None,
+                    help="comma list, e.g. tpu,cpu (default: current)")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else load_config({})
+    det = retinaface_init(jax.random.PRNGKey(0),
+                          with_landmarks=cfg.det_withLandmarks)
+    if cfg.det_weights:
+        det = load_params(det, cfg.det_weights)
+    rec = arcface_init(jax.random.PRNGKey(1), network=cfg.rec_network)
+    if cfg.rec_weights:
+        rec = load_params(rec, cfg.rec_weights)
+    pipe = FacePipeline(cfg, det, rec)
+    plats = args.platforms.split(",") if args.platforms else None
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    blob, meta = export_recognize_engine(pipe, args.batch_size, plats)
+    save_engine(os.path.join(args.out_dir, "recognize.fke"), blob, meta)
+    print(f"recognize.fke: {len(blob)} bytes {meta}")
+    blob, meta = export_embed_engine(pipe, args.batch_size, plats)
+    save_engine(os.path.join(args.out_dir, "embed.fke"), blob, meta)
+    print(f"embed.fke: {len(blob)} bytes {meta}")
+
+
+if __name__ == "__main__":
+    main()

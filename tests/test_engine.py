@@ -1,0 +1,66 @@
+"""Serialized serving engines (jax.export artifacts) — the reference's
+prebuilt .engine UX (src/arcface.cpp:45-69): export, reload without the
+model-building code path, and verify outputs match the live pipeline."""
+
+import json
+
+import numpy as np
+import jax
+import pytest
+
+from facekit.config import FaceKitConfig
+from facekit.engine import (export_embed_engine, export_recognize_engine,
+                            load_engine, save_engine)
+from facekit.models import arcface_init
+from facekit.models.lightdet import lightdet_init
+from facekit.pipeline import FacePipeline
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    cfg = FaceKitConfig(det_network="slim", rec_network="ir_tiny",
+                        det_inputShape=(3, 64, 64),
+                        input_frameWidth=160, input_frameHeight=120,
+                        compute_dtype="float32", det_threshold_bbox=0.3)
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    return FacePipeline(cfg, det, rec)
+
+
+def test_recognize_engine_roundtrip(tiny_pipe, tmp_path, rng):
+    blob, meta = export_recognize_engine(tiny_pipe, batch_size=2)
+    path = str(tmp_path / "recognize.fke")
+    save_engine(path, blob, meta)
+    assert meta["program"] == "recognize" and meta["batch_size"] == 2
+    assert json.load(open(path + ".json"))["magic"] == "facekit-engine-v1"
+
+    call, meta2 = load_engine(path)
+    frames = rng.integers(0, 256, size=(2, 120, 160, 3)).astype(np.uint8)
+    boxes, scores, valid, emb = call(tiny_pipe.det_params,
+                                     tiny_pipe.rec_params, frames)
+    ref = tiny_pipe.recognize_frames(frames)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref.embeddings),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(ref.boxes),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_embed_engine_roundtrip(tiny_pipe, tmp_path, rng):
+    blob, meta = export_embed_engine(tiny_pipe, batch_size=3)
+    path = str(tmp_path / "embed.fke")
+    save_engine(path, blob, meta)
+    call, _ = load_engine(path)
+    crops = rng.integers(0, 256, size=(3, 112, 112, 3)).astype(np.uint8)
+    emb = np.asarray(call(tiny_pipe.rec_params, crops))
+    ref = tiny_pipe.embed_cropped_batch(crops)
+    np.testing.assert_allclose(emb, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+
+def test_load_engine_rejects_foreign_file(tmp_path):
+    p = tmp_path / "bogus.fke"
+    p.write_bytes(b"not an engine")
+    (tmp_path / "bogus.fke.json").write_text(json.dumps({"magic": "nope"}))
+    with pytest.raises(ValueError, match="not a facekit engine"):
+        load_engine(str(p))

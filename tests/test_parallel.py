@@ -229,3 +229,34 @@ def test_fused_serving_sharded_int8(rng):
     np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
     np.testing.assert_allclose(np.asarray(vals1), np.asarray(vals2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_search_pallas_interpret(mesh8, rng):
+    """The REAL multi-chip serving config is shard_map + the Pallas kernels;
+    run them per-shard in interpret mode on the CPU mesh (bf16 and int8)."""
+    from facekit.ops.similarity import quantize_rows_int8
+    from facekit.parallel import shard_rows
+    n, b = 4096, 4
+    gallery = _norm_rows(rng.normal(size=(n, 512)).astype(np.float32))
+    queries = _norm_rows(rng.normal(size=(b, 512)).astype(np.float32))
+
+    rv, ri = cosine_topk_xla(jnp.asarray(gallery), jnp.asarray(queries),
+                             jnp.int32(3000), k=2)
+    g = shard_gallery(jnp.asarray(gallery), mesh8)
+    v, i = sharded_cosine_topk(g, jnp.asarray(queries), jnp.int32(3000),
+                               k=2, mesh=mesh8, use_pallas=True,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(rv), rtol=1e-5)
+
+    gq, gs = quantize_rows_int8(jnp.asarray(gallery))
+    from facekit.ops.similarity import cosine_topk_int8
+    rv8, ri8 = cosine_topk_int8(gq, gs, jnp.asarray(queries),
+                                jnp.int32(3000), k=2)
+    v8, i8 = sharded_cosine_topk(shard_gallery(gq, mesh8),
+                                 jnp.asarray(queries), jnp.int32(3000),
+                                 k=2, mesh=mesh8,
+                                 scales=shard_rows(gs, mesh8),
+                                 use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i8), np.asarray(ri8))
+    np.testing.assert_allclose(np.asarray(v8), np.asarray(rv8), rtol=1e-5)

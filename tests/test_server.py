@@ -361,3 +361,39 @@ async def test_server_mesh_int8_gallery(tmp_path_factory, tmp_path, rng):
         body = json.loads(await r.text())
         assert body["userId"] == "mq"
         assert body["similarity"] > 0.95
+
+
+async def test_server_restart_recovers_state(tmp_path_factory, tmp_path,
+                                             rng):
+    """Recovery model parity (SURVEY §5.3/5.4): state lives in SQLite, so a
+    process restart (new FaceServer over the same DB) restores users and
+    gallery without any migration step."""
+    db = str(tmp_path_factory.mktemp("restart") / "r.db")
+    det = retinaface_init(jax.random.PRNGKey(0), with_landmarks=True)
+    rec = arcface_init(jax.random.PRNGKey(1))
+    cfg = FaceKitConfig(
+        database_path=db, input_frameWidth=320, input_frameHeight=240,
+        det_inputShape=(3, 192, 192), compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False)
+
+    srv1 = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    data, _ = _jpg(rng, hw=(112, 112))
+    p = tmp_path / "r.jpg"
+    p.write_bytes(data)
+    async with make_client(srv1) as client:
+        await client.post("/insert/user", data=json.dumps(
+            {"userId": "ra", "userName": "RA"}))
+        await client.post("/insert/face", data=json.dumps(
+            {"data": [{"userId": "ra", "imgPath": str(p)}]}))
+        await client.get("/reload")
+    srv1.db.close() if hasattr(srv1.db, "close") else None
+
+    # "restart": a fresh server over the same database
+    srv2 = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    assert srv2.gallery.count == 1
+    assert srv2.user_dict == {"ra": "RA"}
+    async with make_client(srv2) as client:
+        r = await client.post("/recognize", data=data)
+        body = json.loads(await r.text())
+        assert body["userId"] == "ra"
+        assert body["similarity"] > 0.95
