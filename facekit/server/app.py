@@ -115,6 +115,17 @@ class FaceServer:
             d = mesh.shape["data"]
             self.batch_size = ((self.batch_size + d - 1) // d) * d
         self.batch_wait_ms = float(config.extras.get("server_batchWaitMs", 3.0))
+        # live-profiling hook (facekit extension; the reference has no
+        # tracing at all, SURVEY.md §5.1): with "profiler_port" set, a
+        # TensorBoard/xprof client can attach to the running server and
+        # capture device traces on demand.
+        prof_port = config.extras.get("profiler_port")
+        if prof_port:
+            try:
+                jax.profiler.start_server(int(prof_port))
+                log.info("jax profiler server on :%s", prof_port)
+            except Exception as e:  # pragma: no cover - port in use etc.
+                log.warning("profiler server failed to start: %s", e)
         if warmup:
             self.pipeline.warmup()
             # compile the fused serving programs against the current
