@@ -135,12 +135,13 @@ def load_engine(path: str) -> Tuple[Any, Dict[str, Any]]:
     """
     with open(path, "rb") as f:
         blob = f.read()
-    meta = {}
-    if os.path.exists(path + ".json"):
-        with open(path + ".json") as f:
-            meta = json.load(f)
-        if meta.get("magic") != _MAGIC:
-            raise ValueError(f"{path}: not a facekit engine")
+    if not os.path.exists(path + ".json"):
+        raise ValueError(f"{path}: missing {path}.json sidecar "
+                         "(not a facekit engine?)")
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    if meta.get("magic") != _MAGIC:
+        raise ValueError(f"{path}: not a facekit engine")
     exported = jax_export.deserialize(blob)
     return exported.call, meta
 
@@ -149,9 +150,8 @@ def main(argv=None) -> None:
     import argparse
 
     from facekit.config import load_config
-    from facekit.models import arcface_init, retinaface_init
+    from facekit.models import init_model_params
     from facekit.pipeline import FacePipeline
-    from facekit.weights import load_params
 
     ap = argparse.ArgumentParser(
         "facekit.engine", description="export serving engines")
@@ -165,13 +165,7 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else load_config({})
-    det = retinaface_init(jax.random.PRNGKey(0),
-                          with_landmarks=cfg.det_withLandmarks)
-    if cfg.det_weights:
-        det = load_params(det, cfg.det_weights)
-    rec = arcface_init(jax.random.PRNGKey(1), network=cfg.rec_network)
-    if cfg.rec_weights:
-        rec = load_params(rec, cfg.rec_weights)
+    det, rec = init_model_params(cfg)
     pipe = FacePipeline(cfg, det, rec)
     plats = args.platforms.split(",") if args.platforms else None
 

@@ -7,7 +7,7 @@
 // for this; a demo client needs neither — plain POSIX sockets, an HTTP/1.1
 // POST, and a minimal RFC6455 client (masked frames) cover the contract.
 //
-// Build:  g++ -O2 -o facekit_client client.cpp
+// Build:  g++ -std=c++17 -O2 -o facekit_client client.cpp
 // Usage:  facekit_client <host> <port> <image.jpg> [--ws] [--repeat N]
 
 #include <arpa/inet.h>
@@ -123,6 +123,9 @@ std::string http_post(const std::string& host, const std::string& port,
   std::string resp = s.recv_to_eof();
   size_t split = resp.find("\r\n\r\n");
   if (split == std::string::npos) throw std::runtime_error("bad response");
+  const std::string status = resp.substr(0, resp.find("\r\n"));
+  if (status.find(" 200") == std::string::npos)
+    throw std::runtime_error("HTTP error: " + status);
   return resp.substr(split + 4);
 }
 
@@ -211,7 +214,7 @@ class WsClient {
       uint8_t mask[4] = {0, 0, 0, 0};
       if (masked) sock_.recv_all(mask, 4);
       std::string payload(len, '\0');
-      if (len) sock_.recv_all(payload.data(), len);
+      if (len) sock_.recv_all(&payload[0], len);  // C++14-safe mutable data
       if (masked)
         for (size_t i = 0; i < payload.size(); ++i) payload[i] ^= mask[i & 3];
       if (opcode == 0x9) {  // ping -> pong

@@ -50,9 +50,8 @@ class FaceServer:
         import jax
         from facekit.db import Database
         from facekit.gallery import GalleryStore
-        from facekit.models import arcface_init, retinaface_init
+        from facekit.models import init_model_params
         from facekit.pipeline import FacePipeline
-        from facekit.weights import load_params
 
         self.config = config
         # Persistent XLA compilation cache: the facekit analog of loading
@@ -67,22 +66,10 @@ class FaceServer:
                     "jax_persistent_cache_min_compile_time_secs", 0.5)
             except Exception:  # older jax without the knobs
                 pass
-        if det_params is None:
-            if config.det_network in ("slim", "rfb"):
-                from facekit.models.lightdet import lightdet_init
-                det_params = lightdet_init(jax.random.PRNGKey(0),
-                                           variant=config.det_network)
-            else:
-                det_params = retinaface_init(
-                    jax.random.PRNGKey(0),
-                    with_landmarks=config.det_withLandmarks)
-            if config.det_weights:
-                det_params = load_params(det_params, config.det_weights)
-        if rec_params is None:
-            rec_params = arcface_init(jax.random.PRNGKey(1),
-                                      network=config.rec_network)
-            if config.rec_weights:
-                rec_params = load_params(rec_params, config.rec_weights)
+        if det_params is None or rec_params is None:
+            det_init, rec_init = init_model_params(config)
+            det_params = det_params if det_params is not None else det_init
+            rec_params = rec_params if rec_params is not None else rec_init
 
         self.pipeline = FacePipeline(config, det_params, rec_params)
         self.db = Database(config.database_path, config.rec_outputDim)

@@ -64,3 +64,24 @@ def test_load_engine_rejects_foreign_file(tmp_path):
     (tmp_path / "bogus.fke.json").write_text(json.dumps({"magic": "nope"}))
     with pytest.raises(ValueError, match="not a facekit engine"):
         load_engine(str(p))
+    # a missing sidecar must also refuse cleanly, not feed arbitrary
+    # bytes into the deserializer
+    q = tmp_path / "naked.fke"
+    q.write_bytes(b"some bytes")
+    with pytest.raises(ValueError, match="sidecar"):
+        load_engine(str(q))
+
+
+def test_engine_cli_with_slim_detector(tmp_path):
+    """The CLI must honor det_network (it used to hardcode retinaface)."""
+    from facekit import engine
+    cfg_path = tmp_path / "slim.json"
+    cfg_path.write_text(json.dumps({
+        "det_network": "slim", "rec_network": "ir_tiny",
+        "det_inputShape": [3, 64, 64],
+        "input_frameWidth": 160, "input_frameHeight": 120,
+        "compute_dtype": "float32"}))
+    out = tmp_path / "engines"
+    engine.main(["export", "-c", str(cfg_path), "-o", str(out), "-b", "2"])
+    call, meta = load_engine(str(out / "recognize.fke"))
+    assert meta["det_network"] == "slim"

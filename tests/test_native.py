@@ -68,10 +68,13 @@ class TestNativeClient:
                            "..", "facekit", "native", "client.cpp")
         out = str(tmp_path_factory.mktemp("bin") / "facekit_client")
         try:
-            subprocess.run(["g++", "-O2", "-o", out, src], check=True,
-                           capture_output=True, timeout=120)
-        except Exception as e:
-            pytest.skip(f"no C++ toolchain: {e}")
+            r = subprocess.run(
+                ["g++", "-std=c++17", "-O2", "-o", out, src],
+                check=False, capture_output=True, timeout=120)
+        except FileNotFoundError:
+            pytest.skip("no C++ toolchain (g++ missing)")
+        # a compile ERROR must fail the test, not silently skip coverage
+        assert r.returncode == 0, r.stderr.decode()
         return out
 
     async def test_http_and_ws_against_live_server(self, client_bin,

@@ -400,20 +400,27 @@ async def test_server_restart_recovers_state(tmp_path_factory, tmp_path,
 
 
 def test_profiler_port_option(tmp_path_factory):
-    """extras.profiler_port starts a jax.profiler server for live traces."""
+    """extras.profiler_port starts a jax.profiler server for live traces.
+
+    Note: jax allows one profiler server per process, never stopped — this
+    must stay the only test that sets profiler_port."""
+    import socket
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))          # pick a genuinely free port
+    port = probe.getsockname()[1]
+    probe.close()
     cfg = FaceKitConfig(
         database_path=str(tmp_path_factory.mktemp("prof") / "p.db"),
         input_frameWidth=320, input_frameHeight=240,
         det_inputShape=(3, 192, 192), compute_dtype="float32",
         gallery_dtype="float32", use_pallas_search=False,
-        extras={"profiler_port": 19718})
+        extras={"profiler_port": port})
     det = retinaface_init(jax.random.PRNGKey(0), with_landmarks=True)
     rec = arcface_init(jax.random.PRNGKey(1))
     srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
-    import socket
     s = socket.socket()
     try:
         s.settimeout(5)
-        s.connect(("127.0.0.1", 19718))   # something is listening
+        s.connect(("127.0.0.1", port))    # the profiler is listening
     finally:
         s.close()
