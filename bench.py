@@ -240,6 +240,29 @@ def main():
             extra["int8_embedder_slots_per_sec"] = (
                 cfg.det_maxFacesPerScene * len(frames) / dev_q)
 
+        # the COMPLETE serving transaction: fused detect + align + embed +
+        # 1M-row gallery match in one device program (what WS /inference
+        # actually dispatches; the reference's whole hot path
+        # src/app.cpp:293-352 + matmul + argmax)
+        _log("profiling batch-8 identify vs 1M gallery...")
+        import jax.numpy as jnp
+        gal = jax.random.normal(jax.random.PRNGKey(7), (1 << 20, 512),
+                                jnp.bfloat16)
+        gal = gal / jnp.linalg.norm(gal.astype(jnp.float32), axis=1,
+                                    keepdims=True).astype(jnp.bfloat16)
+        warm2 = np.roll(fb, 13, axis=0).copy()
+        warm2[0, 5, 5, 0] ^= 1
+        pipe.recognize_and_match(warm2, gal, 1 << 20,
+                                 use_pallas=True)[1].block_until_ready()
+        dev_i = device_time_per_call(
+            lambda j: pipe.recognize_and_match(fbs[j], gal, 1 << 20,
+                                               use_pallas=True)[1], 5)
+        if dev_i:
+            extra["batch8_identify_1M_device_ms"] = dev_i * 1e3
+            extra["identify_1M_slots_per_sec"] = (
+                cfg.det_maxFacesPerScene * len(frames) / dev_i)
+        del gal
+
     if on_tpu:
         # 2^20 rows: tile-aligned like the production bucket ladder, so the
         # kernel sees the store's zero-copy layout
