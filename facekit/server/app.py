@@ -93,6 +93,11 @@ class FaceServer:
         self.reload_gallery()
         # one worker: device programs serialize on the chip anyway
         self.executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        # separate pool for host-side image decode (cv2 releases the GIL):
+        # keeps ~ms JPEG decodes off BOTH the event loop and the device
+        # thread so they overlap device compute
+        self.decode_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=int(config.extras.get("server_decodeThreads", 4)))
         from facekit.utils import LatencyTracker
         self.metrics = LatencyTracker()
         # micro-batching knobs (facekit extension; see server/batcher.py)
@@ -312,21 +317,36 @@ def make_app(server: FaceServer):
                                      bsz, server.batch_wait_ms)
     rh, rw = cfg.rec_hw
 
+    def _decode_bgr(data: bytes, resize_wh=None):
+        """JPEG/PNG bytes -> BGR frame (or None). Runs on the decode pool:
+        cv2.imdecode takes ~1-2 ms and releases the GIL — doing it inline
+        in a handler would stall the event loop and serialize the server
+        under load (the device batch itself is only ~4.6 ms)."""
+        frame = cv2.imdecode(np.frombuffer(data, np.uint8),
+                             cv2.IMREAD_UNCHANGED)
+        if frame is None:
+            return None
+        if frame.ndim == 2:
+            frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)
+        elif frame.shape[-1] == 4:  # PNG with alpha (IMREAD_UNCHANGED)
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGRA2BGR)
+        if resize_wh is not None and frame.shape[:2] != resize_wh[::-1]:
+            frame = cv2.resize(frame, resize_wh)
+        return frame
+
+    def run_decode(data, resize_wh=None):
+        loop = asyncio.get_running_loop()
+        return loop.run_in_executor(server.decode_pool, _decode_bgr, data,
+                                    resize_wh)
+
     async def recognize(request):
         data = await request.read()
         with server.metrics.time("recognize"):
-            arr = np.frombuffer(data, np.uint8)
-            frame = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
+            # the reference embeds the WHOLE image, no detection
+            # (:255-267), host-resizing to the recognizer input first
+            frame = await run_decode(data, (rw, rh))
             retval = None
             if frame is not None:
-                if frame.ndim == 2:
-                    frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)
-                elif frame.shape[-1] == 4:  # PNG with alpha (IMREAD_UNCHANGED)
-                    frame = cv2.cvtColor(frame, cv2.COLOR_BGRA2BGR)
-                # the reference embeds the WHOLE image, no detection
-                # (:255-267), host-resizing to the recognizer input first
-                if frame.shape[:2] != (rh, rw):
-                    frame = cv2.resize(frame, (rw, rh))
                 retval = await recognize_batcher.submit(frame)
         if retval is None:
             return web.Response(text="null",
@@ -385,16 +405,10 @@ def make_app(server: FaceServer):
                         else msg.data.encode("latin-1"))
                 with server.metrics.time(
                         "inference", count=cfg.det_maxFacesPerScene):
-                    raw = cv2.imdecode(np.frombuffer(data, np.uint8),
-                                       cv2.IMREAD_UNCHANGED)
+                    frame = await run_decode(
+                        data, (cfg.input_frameWidth, cfg.input_frameHeight))
                     retval = None
-                    if raw is not None:
-                        if raw.ndim == 2:
-                            raw = cv2.cvtColor(raw, cv2.COLOR_GRAY2BGR)
-                        elif raw.shape[-1] == 4:
-                            raw = cv2.cvtColor(raw, cv2.COLOR_BGRA2BGR)
-                        frame = cv2.resize(raw, (cfg.input_frameWidth,
-                                                 cfg.input_frameHeight))
+                    if frame is not None:
                         retval = await inference_batcher.submit(frame)
                 if retval is None:
                     await ws.send_str("null")
@@ -421,16 +435,11 @@ def make_app(server: FaceServer):
         except ValueError:
             return web.Response(status=400, text="invalid k\n")
         data = await request.read()
+        frame = await run_decode(data)
 
         def _run():
-            arr = np.frombuffer(data, np.uint8)
-            frame = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
             if frame is None:
                 return None
-            if frame.ndim == 2:
-                frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)
-            elif frame.shape[-1] == 4:
-                frame = cv2.cvtColor(frame, cv2.COLOR_BGRA2BGR)
             emb = server.pipeline.embed_cropped(frame)
             try:
                 vals, idx, names = server.gallery.search(
