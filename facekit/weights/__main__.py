@@ -19,23 +19,45 @@ from facekit.weights.io import save_params
 
 def main(argv=None):
     ap = argparse.ArgumentParser("facekit weight converter")
-    ap.add_argument("model", choices=["arcface", "retinaface", "slim", "rfb"])
-    ap.add_argument("checkpoint")
+    ap.add_argument("model", choices=["arcface", "retinaface", "slim",
+                                      "rfb", "train-checkpoint"])
+    ap.add_argument("checkpoint",
+                    help="torch .pth, or an orbax train-checkpoint dir "
+                         "for train-checkpoint mode")
     ap.add_argument("output")
     ap.add_argument("--network", default="ir_50",
                     help="arcface variant (ir_50/ir_101/ir_152/ir_se_50/...)")
+    ap.add_argument("--num-classes", type=int, default=None,
+                    help="(train-checkpoint) classes the head was trained "
+                         "with, needed to shape the restore template")
     ap.add_argument("--verify", action="store_true",
                     help="run the converted JAX model on random input and "
                          "report output stats (shape/finite/L2-norm)")
     args = ap.parse_args(argv)
 
-    sd = load_torch_checkpoint(args.checkpoint)
-    if args.model == "arcface":
-        params = convert_arcface_state_dict(sd, args.network)
-    elif args.model == "retinaface":
-        params = convert_retinaface_state_dict(sd)
+    if args.model == "train-checkpoint":
+        # facekit-trained backbone -> serving pytree (the train->serve
+        # bridge; the reference's analog is its whole torch2trt step)
+        import jax
+
+        from facekit.train import train_state_init
+        from facekit.train.checkpoint import restore_checkpoint
+
+        if not args.num_classes:
+            ap.error("train-checkpoint requires --num-classes")
+        template = train_state_init(jax.random.PRNGKey(0),
+                                    args.num_classes,
+                                    network=args.network)
+        state = restore_checkpoint(args.checkpoint, template)
+        params = jax.device_get(state.params)
     else:
-        params = convert_lightdet_state_dict(sd, args.model)
+        sd = load_torch_checkpoint(args.checkpoint)
+        if args.model == "arcface":
+            params = convert_arcface_state_dict(sd, args.network)
+        elif args.model == "retinaface":
+            params = convert_retinaface_state_dict(sd)
+        else:
+            params = convert_lightdet_state_dict(sd, args.model)
     save_params(params, args.output)
     print(f"wrote {args.output}")
 
@@ -43,7 +65,7 @@ def main(argv=None):
         import numpy as np
         import jax.numpy as jnp
         rng = np.random.default_rng(0)
-        if args.model == "arcface":
+        if args.model in ("arcface", "train-checkpoint"):
             from facekit.models import arcface_apply
             x = jnp.asarray(rng.normal(0, 1, (1, 112, 112, 3)),
                             jnp.float32)
