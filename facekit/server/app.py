@@ -466,7 +466,14 @@ def make_app(server: FaceServer):
         })
 
     async def metrics(request):
-        return web.json_response(server.metrics.snapshot())
+        snap = server.metrics.snapshot()
+        for name, b in (("recognize", recognize_batcher),
+                        ("inference", inference_batcher)):
+            if b.batches:
+                snap.setdefault(name, {})["mean_batch_size"] = (
+                    b.items / b.batches)
+                snap[name]["batches"] = b.batches
+        return web.json_response(snap)
 
     app = web.Application(client_max_size=64 * 1024 * 1024)
     app.router.add_get("/metrics", metrics)

@@ -41,6 +41,10 @@ class MicroBatcher:
         self._lock = threading.Lock()
         self._flush_scheduled = False
         self._inflight = 0
+        # observability: dispatched batch count + item count (mean batch
+        # size = items / batches, exposed via the server's /metrics)
+        self.batches = 0
+        self.items = 0
 
     def _drain_locked(self) -> Optional[List[tuple]]:
         """Take up to max_batch pending items; caller holds the lock."""
@@ -79,6 +83,9 @@ class MicroBatcher:
 
     async def _run(self, batch: List[tuple]) -> None:
         items = [b[0] for b in batch]
+        with self._lock:
+            self.batches += 1
+            self.items += len(items)
         loop = asyncio.get_running_loop()
         try:
             outs = await loop.run_in_executor(

@@ -192,3 +192,37 @@ async def test_ws_inference_load_profile(tmp_path_factory, rng):
         assert m.get("count", 0) == 18 * 4
     finally:
         await client.close()
+
+
+async def test_metrics_expose_batch_sizes(tmp_path_factory, rng):
+    """/metrics surfaces the adaptive batcher's realized batch sizes."""
+    import cv2
+    import jax
+    import json
+    from aiohttp.test_utils import TestClient, TestServer
+    from facekit.config import FaceKitConfig
+    from facekit.models import arcface_init, retinaface_init
+    from facekit.server import FaceServer, make_app
+
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("mb") / "mb.db"),
+        input_frameWidth=320, input_frameHeight=240,
+        det_inputShape=(3, 192, 192), compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False)
+    srv = FaceServer(cfg, det_params=retinaface_init(jax.random.PRNGKey(0)),
+                     rec_params=arcface_init(jax.random.PRNGKey(1)),
+                     warmup=False)
+    srv.gallery.load(["m"], rng.normal(size=(1, 512)).astype(np.float32))
+    img = rng.integers(0, 256, size=(112, 112, 3), dtype=np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    data = buf.tobytes()
+    client = TestClient(TestServer(make_app(srv)))
+    await client.start_server()
+    try:
+        await asyncio.gather(*[client.post("/recognize", data=data)
+                               for _ in range(6)])
+        m = json.loads(await (await client.get("/metrics")).text())
+        assert m["recognize"]["batches"] >= 1
+        assert 1.0 <= m["recognize"]["mean_batch_size"] <= 6.0
+    finally:
+        await client.close()
