@@ -263,6 +263,26 @@ def main():
                 cfg.det_maxFacesPerScene * len(frames) / dev_i)
         del gal
 
+        # the full int8 point: rec_quantize embedder + int8 gallery with
+        # per-row scales, still one fused device program
+        _log("profiling batch-8 int8 identify vs 1M int8 gallery...")
+        from facekit.ops.similarity import quantize_rows_int8
+        gq, gsc2 = quantize_rows_int8(
+            jax.random.normal(jax.random.PRNGKey(8), (1 << 20, 512),
+                              jnp.float32))
+        pipe_q.recognize_and_match(
+            warm2, gq, 1 << 20, use_pallas=True,
+            gallery_scale=gsc2)[1].block_until_ready()
+        dev_qi = device_time_per_call(
+            lambda j: pipe_q.recognize_and_match(
+                fbs[j], gq, 1 << 20, use_pallas=True,
+                gallery_scale=gsc2)[1], 5)
+        if dev_qi:
+            extra["batch8_identify_1M_int8_device_ms"] = dev_qi * 1e3
+            extra["identify_1M_int8_slots_per_sec"] = (
+                cfg.det_maxFacesPerScene * len(frames) / dev_qi)
+        del gq, gsc2
+
     if on_tpu:
         # 2^20 rows: tile-aligned like the production bucket ladder, so the
         # kernel sees the store's zero-copy layout
