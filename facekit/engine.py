@@ -160,14 +160,17 @@ def main(argv=None) -> None:
     ex.add_argument("-c", "--config", default=None)
     ex.add_argument("-o", "--out-dir", default="engines")
     ex.add_argument("-b", "--batch-size", type=int, default=8)
-    ex.add_argument("--platforms", default=None,
-                    help="comma list, e.g. tpu,cpu (default: current)")
+    ex.add_argument("--platforms", default="tpu,cpu",
+                    help="comma list (default tpu,cpu: one artifact "
+                         "deploys on either; 'native' = current platform "
+                         "only)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else load_config({})
     det, rec = init_model_params(cfg)
     pipe = FacePipeline(cfg, det, rec)
-    plats = args.platforms.split(",") if args.platforms else None
+    plats = (None if args.platforms == "native"
+             else args.platforms.split(","))
 
     os.makedirs(args.out_dir, exist_ok=True)
     blob, meta = export_recognize_engine(pipe, args.batch_size, plats)
