@@ -17,7 +17,7 @@ IR-50 forward, and XLA vectorizes the gathers fine outside Pallas.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -117,7 +117,7 @@ def _linear_axis_weights(pos: jnp.ndarray, size: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("out_hw", "window"))
 def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
                      out_hw: Tuple[int, int] = (112, 112),
-                     window: int = 160) -> jnp.ndarray:
+                     window: Optional[int] = None) -> jnp.ndarray:
     """Gather-free 5-point alignment: crop window + two-pass shear matmuls.
 
     The affine warp decomposes into two 1-D resampling passes (see
@@ -136,6 +136,12 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
     and degraded beyond ~60 deg — VERDICT item 6.
     """
     oh, ow = out_hw
+    if window is None:
+        # intermediate crop-window resolution must scale with the output:
+        # a fixed 160 would resample a 224x224 request through a LOWER-res
+        # intermediate and soften it vs the exact gather path
+        base = -(-max(out_hw) * 10 // 7)        # ceil(out * 10/7)
+        window = max(160, (base + 7) // 8 * 8)
     c_win = window
     h, w, _ = frame.shape
     frame = frame.astype(jnp.float32)

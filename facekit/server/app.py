@@ -119,9 +119,10 @@ class FaceServer:
             except Exception as e:  # pragma: no cover - port in use etc.
                 log.warning("profiler server failed to start: %s", e)
         if warmup:
-            self.pipeline.warmup()
-            # compile the fused serving programs against the current
-            # gallery bucket (recompiles only when the bucket grows)
+            # compile exactly the programs this config serves with (a full
+            # pipeline compile is 40-120 s on TPU; warming unused variants
+            # multiplies cold-start for nothing). The fused batched
+            # programs recompile only when the gallery bucket grows.
             snap = self.gallery.snapshot()
             fh, fw = config.frame_hw
             rh, rw = config.rec_hw
@@ -135,6 +136,12 @@ class FaceServer:
                 snap.arr, max(snap.count, 1),
                 use_pallas=self.gallery.use_pallas,
                 gallery_scale=snap.scales, mesh=mesh)
+            # /insert/face paths: cropped -> embed_cropped; uncropped ->
+            # the single-frame detect pipeline
+            self.pipeline.embed_cropped(np.zeros((rh, rw, 3), np.uint8))
+            if not config.api_imgIsCropped:
+                self.pipeline.recognize_frame(
+                    np.zeros((fh, fw, 3), np.uint8))
 
     # -- gallery management (reference /reload, src/app.cpp:354-365) ---------
 
@@ -175,6 +182,10 @@ class FaceServer:
         cv2 = _require_cv2()
         cfg = self.config
         if is_cropped:
+            rh, rw = cfg.rec_hw
+            if img_bgr.shape[:2] != (rh, rw):
+                # fixed-shape program: host-resize, don't recompile per size
+                img_bgr = cv2.resize(img_bgr, (rw, rh))
             return self.pipeline.embed_cropped(img_bgr)
         frame = cv2.resize(img_bgr, (cfg.input_frameWidth,
                                      cfg.input_frameHeight))
@@ -194,6 +205,12 @@ def make_app(server: FaceServer):
         loop = asyncio.get_running_loop()
         return loop.run_in_executor(server.executor, fn, *args)
 
+    def run_db(fn, *args):
+        """SQLite commits fsync — run them off the event loop, and NOT on
+        the device executor (they'd serialize with device dispatch)."""
+        loop = asyncio.get_running_loop()
+        return loop.run_in_executor(server.decode_pool, fn, *args)
+
     # -- POST /insert/user (src/app.cpp:118-129) ------------------------------
     async def insert_user(request):
         try:
@@ -202,7 +219,7 @@ def make_app(server: FaceServer):
             user_name = x["userName"]
         except Exception:
             return web.Response(status=400)
-        ret = server.db.insert_user(user_id, user_name)
+        ret = await run_db(server.db.insert_user, user_id, user_name)
         if ret == 1:
             body = f"Success! User `{user_id}` inserted.\n"
         else:
@@ -230,6 +247,13 @@ def make_app(server: FaceServer):
                 ret = 0
                 emb = None
                 if cfg.api_imgIsCropped:
+                    # host-resize to the recognizer input first (reference
+                    # src/app.cpp:148-162 cv::resize) — embed_cropped is a
+                    # fixed-shape program; feeding it arbitrary sizes
+                    # would trace+compile per unique (H, W)
+                    rh_, rw_ = cfg.rec_hw
+                    if image.shape[:2] != (rh_, rw_):
+                        image = cv2.resize(image, (rw_, rh_))
                     emb = server.pipeline.embed_cropped(image)
                     ret = 1
                 else:
@@ -276,14 +300,14 @@ def make_app(server: FaceServer):
         user_id = request.rel_url.query.get("id")
         if user_id is None:
             return web.Response(text="Failed\n")
-        server.db.delete_user(user_id)
+        await run_db(server.db.delete_user, user_id)
         return web.Response(text="Success\n")
 
     async def delete_face(request):
         face_id = request.rel_url.query.get("id")
         if face_id is None:
             return web.Response(text="Failed\n")
-        server.db.delete_face(int(face_id))
+        await run_db(server.db.delete_face, int(face_id))
         return web.Response(text="Success\n")
 
     # -- POST /recognize (src/app.cpp:243-287) --------------------------------
@@ -370,27 +394,37 @@ def make_app(server: FaceServer):
         vals = np.asarray(sims)[:n, :, 0]
         idx = np.asarray(gidx)[:n, :, 0]
         valid = np.asarray(res.valid)[:n]
-        crops = np.asarray(res.crops)[:n]
         outs = []
         for i in range(n):
             if not valid[i].any():
                 outs.append(None)
                 continue
-            sims = np.where(valid[i], vals[i], -np.inf)
-            best = int(sims.argmax())
+            masked = np.where(valid[i], vals[i], -np.inf)
+            best = int(masked.argmax())
             user_id = names[int(idx[i, best])]
             sim = float(vals[i, best])
-            crop_u8 = np.clip(crops[i, best], 0, 255).astype(np.uint8)
-            ok, buf = cv2.imencode(".jpg", crop_u8)
-            encoded = base64.b64encode(buf.tobytes()).decode() if ok else ""
+            # transfer ONLY the selected crop (a device-side slice), not
+            # the whole (B, F, 112, 112, 3) tensor; JPEG encoding happens
+            # later on the decode pool, off this device thread
+            crop_u8 = np.clip(np.asarray(res.crops[i, best]),
+                              0, 255).astype(np.uint8)
             outs.append({
-                "image": encoded,
+                "crop": crop_u8,
                 "userId": user_id,
                 "userName": server.user_dict.get(user_id, ""),
                 "similarity": sim,
                 "isUnknown": sim < cfg.rec_knownPersonThreshold,
             })
         return outs
+
+    def _encode_reply(out):
+        """crop ndarray -> base64 jpg, on the decode pool (host work must
+        not ride the device executor)."""
+        crop = out.pop("crop")
+        ok, buf = cv2.imencode(".jpg", crop)
+        out["image"] = (base64.b64encode(buf.tobytes()).decode()
+                        if ok else "")
+        return out
 
     inference_batcher = MicroBatcher(_inference_batch, server.executor,
                                      bsz, server.batch_wait_ms)
@@ -410,6 +444,10 @@ def make_app(server: FaceServer):
                     retval = None
                     if frame is not None:
                         retval = await inference_batcher.submit(frame)
+                    if retval is not None:
+                        loop = asyncio.get_running_loop()
+                        retval = await loop.run_in_executor(
+                            server.decode_pool, _encode_reply, retval)
                 if retval is None:
                     await ws.send_str("null")
                 else:
@@ -434,8 +472,14 @@ def make_app(server: FaceServer):
                 "k", cfg.gallery_topk or 5)))
         except ValueError:
             return web.Response(status=400, text="invalid k\n")
+        # k is a static jit argument (each distinct k compiles a program,
+        # and the Pallas kernel unrolls ~2k extraction steps per tile):
+        # an unbounded client-supplied k is a compile-time DoS
+        if k > 64:
+            return web.Response(status=400, text="k too large (max 64)\n")
         data = await request.read()
-        frame = await run_decode(data)
+        # resize on the decode pool: embed_cropped is shape-specialized
+        frame = await run_decode(data, (rw, rh))
 
         def _run():
             if frame is None:

@@ -91,7 +91,11 @@ def data_loader(dataset: FolderDataset, batch_size: int,
                 order = (rng.permutation(n) if shuffle
                          else np.arange(n))
                 stop = (n - batch_size + 1) if drop_remainder else n
-                for i in range(0, max(stop, 1), batch_size):
+                # drop_remainder promises FIXED-size batches (static jit
+                # shapes, B % shards == 0): a dataset smaller than the
+                # batch yields nothing rather than a short batch
+                for i in range(0, max(stop, 0 if drop_remainder else 1),
+                               batch_size):
                     yield order[i:i + batch_size]
                 epoch += 1
 

@@ -147,3 +147,19 @@ def test_warp_shear_large_rotation_embedding_impact(reference_dir):
         rec_normalize(warp_align_shear(frame, lms))))
     cos_dist = 1 - (ea * eb).sum(-1)
     assert cos_dist.max() < 1e-3, cos_dist
+
+
+def test_warp_shear_large_output_resolution(reference_dir):
+    """224x224 alignment must not resample through a low-res intermediate
+    (the window scales with out_hw); parity with the gather path holds."""
+    frame = jnp.asarray(cv2.resize(
+        cv2.imread(f"{reference_dir}/imgs/2.jpg"), (640, 480)
+    ).astype(np.float32))
+    lm = _mk_lm(0.4, 2.2, 300, 220)
+    # template scaling in both paths maps 112-space landmarks to 224 out
+    a = np.asarray(warp_align_gather(frame, jnp.asarray(lm[None]),
+                                     out_hw=(224, 224)))[0]
+    b = np.asarray(warp_align_shear(frame, jnp.asarray(lm[None]),
+                                    out_hw=(224, 224)))[0]
+    d = np.abs(a[8:-8, 8:-8] - b[8:-8, 8:-8])
+    assert d.mean() < 2.0, d.mean()

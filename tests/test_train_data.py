@@ -117,3 +117,16 @@ def test_checkpoint_to_serving_weights_cli(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["input"]["conv"]),
         np.asarray(state.params["input"]["conv"]))
+
+
+def test_loader_drop_remainder_never_short(image_root):
+    """drop_remainder promises fixed-size batches even when the dataset is
+    smaller than the batch (no short batch leaking into jitted steps)."""
+    root, _ = image_root
+    ds = FolderDataset(root)          # 12 images
+    batches = list(data_loader(ds, batch_size=32, num_epochs=2,
+                               drop_remainder=True))
+    assert batches == []
+    batches = list(data_loader(ds, batch_size=32, num_epochs=1,
+                               drop_remainder=False))
+    assert len(batches) == 1 and batches[0][0].shape[0] == 12
