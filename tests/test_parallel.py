@@ -260,3 +260,29 @@ def test_sharded_search_pallas_interpret(mesh8, rng):
                                  use_pallas=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(i8), np.asarray(ri8))
     np.testing.assert_allclose(np.asarray(v8), np.asarray(rv8), rtol=1e-5)
+
+
+def test_fused_serving_rfb_detector(rng):
+    """The RFB detector family through the fused sharded serving program."""
+    from facekit.config import FaceKitConfig
+    from facekit.models import arcface_init
+    from facekit.models.lightdet import lightdet_init
+    from facekit.pipeline import FacePipeline
+
+    cfg = FaceKitConfig(det_network="rfb", rec_network="ir_tiny",
+                        det_inputShape=(3, 64, 64),
+                        input_frameWidth=160, input_frameHeight=120,
+                        compute_dtype="float32", det_threshold_bbox=0.3)
+    pipe = FacePipeline(cfg, lightdet_init(jax.random.PRNGKey(0),
+                                           variant="rfb"),
+                        arcface_init(jax.random.PRNGKey(1),
+                                     network="ir_tiny"))
+    frames = rng.integers(0, 256, size=(4, 120, 160, 3)).astype(np.uint8)
+    gallery = _norm_rows(rng.normal(size=(1024, 512)).astype(np.float32))
+    mesh = make_mesh({"data": 2, "gallery": 4})
+    _, v1, i1 = pipe.recognize_and_match(frames, jnp.asarray(gallery), 1000)
+    _, v2, i2 = pipe.recognize_and_match(
+        frames, shard_gallery(jnp.asarray(gallery), mesh), 1000, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-4,
+                               atol=1e-5)

@@ -228,3 +228,65 @@ class TestIncrementalAppend:
         np.testing.assert_array_equal(old[3], np.zeros(512, np.float32))
         vals, idx, names = store.search(jnp.asarray(emb[3:4]), k=1)
         assert names[idx[0, 0]] == "d"
+
+
+def test_gallery_thread_stress(rng):
+    """Hammer add/search/load/reset from threads: no exceptions, every
+    search self-consistent (indices within the count it saw, names match).
+    The reference's equivalent state is unsynchronized and races
+    (SURVEY §2.12); facekit's must hold under contention by construction."""
+    import threading
+
+    store = GalleryStore(dtype="float32", use_pallas=False,
+                         buckets=(64, 256))
+    base = _norm_rows(rng.normal(size=(128, 512)).astype(np.float32))
+    store.load([f"u{i}" for i in range(8)], base[:8])
+    errors = []
+    stop = threading.Event()
+
+    def adder():
+        i = 8
+        try:
+            while not stop.is_set() and i < 120:
+                store.add(f"u{i}", base[i])
+                i += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def searcher():
+        try:
+            while not stop.is_set():
+                try:
+                    vals, idx, names = store.search(
+                        jnp.asarray(base[:4]), k=1)
+                except ValueError:
+                    continue          # reset raced us: empty gallery
+                assert idx.max() < len(names)
+                assert np.isfinite(vals).all()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def reloader():
+        try:
+            for _ in range(5):
+                store.load([f"r{i}" for i in range(16)], base[:16])
+                store.reset()
+                store.load([f"u{i}" for i in range(8)], base[:8])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=adder),
+               threading.Thread(target=searcher),
+               threading.Thread(target=searcher),
+               threading.Thread(target=reloader)]
+    for t in threads:
+        t.start()
+    threads[3].join()
+    threads[0].join()
+    stop.set()
+    for t in threads[1:3]:
+        t.join()
+    assert not errors, errors
+    # final state searchable and consistent
+    vals, idx, names = store.search(jnp.asarray(base[:2]), k=1)
+    assert idx.max() < len(names)
