@@ -424,3 +424,35 @@ def test_profiler_port_option(tmp_path_factory):
         s.connect(("127.0.0.1", port))    # the profiler is listening
     finally:
         s.close()
+
+
+async def test_server_full_int8_with_mesh(tmp_path_factory, tmp_path, rng):
+    """The complete low-precision serving point: rec_quantize embedder +
+    int8 gallery + sharded mesh, through the real endpoints."""
+    from facekit.models.lightdet import lightdet_init
+    # tiny models: XLA's CPU int8 convs are slow, and the combination
+    # under test (quantized embedder + int8 sharded gallery through the
+    # endpoints) is model-size-independent
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("fi") / "fi.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        gallery_dtype="int8", rec_quantize=True, use_pallas_search=False,
+        mesh_shape={"data": 2, "gallery": 4})
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    async with make_client(srv) as client:
+        data, _ = _jpg(rng, hw=(112, 112))
+        p = tmp_path / "fi.jpg"
+        p.write_bytes(data)
+        await client.post("/insert/user", data=json.dumps(
+            {"userId": "fi", "userName": "FI"}))
+        await client.post("/insert/face", data=json.dumps(
+            {"data": [{"userId": "fi", "imgPath": str(p)}]}))
+        await client.get("/reload")
+        r = await client.post("/recognize", data=data)
+        body = json.loads(await r.text())
+        assert body["userId"] == "fi"
+        assert body["similarity"] > 0.95
