@@ -457,3 +457,60 @@ async def test_server_full_int8_with_mesh(tmp_path_factory, tmp_path, rng):
         body = json.loads(await r.text())
         assert body["userId"] == "fi"
         assert body["similarity"] > 0.9
+
+
+def test_config_roundtrip_new_fields(tmp_path):
+    """Round-2 config fields load from JSON files (det_nmsTopK/Exact,
+    rec_quantize, mesh_shape) and reference JSONs still work verbatim."""
+    from facekit.config import load_config
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "det_nmsTopK": 256, "det_nmsExact": False, "rec_quantize": True,
+        "mesh_shape": {"data": 2, "gallery": 4},
+        "gallery_dtype": "int8",
+        "det_engine": "legacy.engine",          # reference key -> extras
+        "server_batchWaitMs": 1.5,              # unknown -> extras
+    }))
+    cfg = load_config(str(p))
+    assert cfg.det_nmsTopK == 256 and cfg.det_nmsExact is False
+    assert cfg.rec_quantize is True
+    assert cfg.mesh_shape == {"data": 2, "gallery": 4}
+    assert cfg.extras["det_engine"] == "legacy.engine"
+    assert cfg.extras["server_batchWaitMs"] == 1.5
+
+    ref = load_config("/root/reference/app/config.json")
+    assert ref.det_maxFacesPerScene >= 1           # reference schema loads
+    assert ref.det_nmsTopK == 128 and ref.det_nmsExact is True  # defaults
+
+
+async def test_python_demo_client_flow(face_server, tmp_path, rng,
+                                        monkeypatch):
+    """The Python demo client (reference main.cpp role): POST /recognize,
+    parse the reply, write the annotated vis image."""
+    from aiohttp.test_utils import TestServer as _TS
+    from facekit.server import client as democlient
+
+    ts = _TS(make_app(face_server))
+    await ts.start_server()
+    try:
+        data, img = _jpg(rng, hw=(112, 112))
+        p = tmp_path / "demo.jpg"
+        p.write_bytes(data)
+        face_server.gallery.load(
+            ["demo"], np.asarray(
+                face_server.pipeline.embed_cropped(
+                    cv2.imdecode(np.frombuffer(data, np.uint8),
+                                 cv2.IMREAD_COLOR)))[None])
+        out_path = str(tmp_path / "vis.jpg")
+        # the demo client is synchronous urllib: run it off the event loop
+        # (the TestServer serves on THIS loop — calling it inline deadlocks)
+        import asyncio
+        loop = asyncio.get_running_loop()
+        result = await loop.run_in_executor(
+            None, democlient.recognize, ts.host, ts.port, str(p), out_path)
+        assert result["userId"] == "demo"
+        assert result["similarity"] > 0.9
+        vis = cv2.imread(out_path)
+        assert vis is not None and vis.shape[-1] == 3   # annotated output
+    finally:
+        await ts.close()
