@@ -168,7 +168,12 @@ class GalleryStore:
         ``dynamic_update_slice`` — one HBM-local copy, no host re-upload
         (at 1M rows the r1 rebuild-per-face moved ~1 GB over the host
         link). Crossing a bucket boundary rebuilds at the next capacity.
-        The previous array is left intact for concurrent snapshot holders.
+        Concurrent snapshot holders stay safe: the update is NOT donated
+        (their buffer is never deleted) and only touches the row at index
+        ``count`` — padding to every consumer, which masks by the count
+        it snapshotted. (The runtime may or may not reuse the buffer in
+        place for that padding row; rows below the snapshot count are
+        guaranteed byte-stable.)
         """
         emb = np.asarray(embedding, np.float32).reshape(1, self.embed_dim)
         with self._lock:

