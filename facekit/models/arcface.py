@@ -110,7 +110,7 @@ def _block_apply(x, p, stride: int):
 def quantize_arcface_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """Post-training int8 weight quantization of every backbone conv
     (per-output-channel scales); BN/PReLU/SE/linear stay float. Activations
-    quantize dynamically per tensor inside conv2d_int8. Apply with the same
+    quantize dynamically per sample inside conv2d_int8. Apply with the same
     ``arcface_apply`` — the weight form dispatches (facekit's lower-precision
     serving point vs the reference's fp16 engines,
     conversion/arcface/torch2trt.py:42-44). Drift bounds:

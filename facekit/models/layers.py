@@ -99,8 +99,14 @@ def conv2d_int8(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
     the reference's fp16 TensorRT engines (conversion/arcface/torch2trt.py:42-44)
     — a lower-precision, higher-throughput serving point with measured
     drift bounds (tests/test_model_parity.py::test_arcface_int8_drift).
+
+    Activation scales are PER SAMPLE (amax over H, W, C): a conv never
+    mixes batch elements, so the dequant broadcasts (N,1,1,1) exactly, and
+    one outlier face no longer widens the quantization step for the whole
+    batch — same op count, measurably lower embedding drift.
     """
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3),
+                   keepdims=True)
     ascale = jnp.maximum(amax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ascale),
                   -127, 127).astype(jnp.int8)

@@ -114,10 +114,11 @@ def _linear_axis_weights(pos: jnp.ndarray, size: int) -> jnp.ndarray:
     return (grid == b) * (1.0 - f) + (grid == b + 1.0) * f
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "window"))
+@functools.partial(jax.jit, static_argnames=("out_hw", "window", "dtype"))
 def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
                      out_hw: Tuple[int, int] = (112, 112),
-                     window: Optional[int] = None) -> jnp.ndarray:
+                     window: Optional[int] = None,
+                     dtype=jnp.float32) -> jnp.ndarray:
     """Gather-free 5-point alignment: crop window + two-pass shear matmuls.
 
     The affine warp decomposes into two 1-D resampling passes (see
@@ -134,6 +135,12 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
     instead — whichever branch is selected is well-conditioned
     (|coefficient| >= cos 45 / scale). r1 merely clamped the coefficient
     and degraded beyond ~60 deg — VERDICT item 6.
+
+    ``dtype`` is the precision of the two pass matmuls only (positions and
+    weights are still built in f32, accumulation is f32 via
+    preferred_element_type). bf16 halves the HBM traffic of the banded
+    weight matrices — the dominant cost of the warp — at <=1 uint8 LSB of
+    crop error; the serving pipeline passes its compute dtype.
     """
     oh, ow = out_hw
     if window is None:
@@ -202,7 +209,9 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
         # pass A: H[y, u] = win[y, alpha*u + beta*y + gamma]
         pos_a = alpha * us[None, :] + beta * ys[:, None] + gamma  # (C, ow)
         wa = _linear_axis_weights(pos_a, c_win)                   # (C, ow, C)
-        ha = jnp.einsum("yux,yxc->yuc", wa, win)                  # (C, ow, 3)
+        ha = jnp.einsum("yux,yxc->yuc", wa.astype(dtype),
+                        win.astype(dtype),
+                        preferred_element_type=jnp.float32)       # (C, ow, 3)
         # pass B: O[yo, xo] = H[c*xo + d*yo + f, xo]
         xo = jnp.arange(ow, dtype=jnp.float32)
         yo = jnp.arange(oh, dtype=jnp.float32)
@@ -210,7 +219,9 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
         pos_b_t = pos_b.T                                          # (ow, oh)
         wb = _linear_axis_weights(pos_b_t, c_win)                  # (ow, oh, C)
         ht = jnp.transpose(ha, (1, 0, 2))                          # (ow, C, 3)
-        ot = jnp.einsum("uoy,uyc->uoc", wb, ht)                    # (ow, oh, 3)
+        ot = jnp.einsum("uoy,uyc->uoc", wb.astype(dtype),
+                        ht.astype(dtype),
+                        preferred_element_type=jnp.float32)        # (ow, oh, 3)
         return jnp.transpose(ot, (1, 0, 2))
 
     return jax.vmap(one)(wins, landmarks.astype(jnp.float32),

@@ -88,7 +88,7 @@ def _recognize_frame(det_params, rec_params, frame, *, frame_hw, det_hw,
                        iou_threshold=iou_thr, nms_top_k=nms_top_k,
                        nms_exact=nms_exact, ldm=ldm0)
     if align and use_landmarks:
-        faces = warp_align(frame, det.landmarks, rec_hw)
+        faces = warp_align(frame, det.landmarks, rec_hw, dtype=dtype)
     else:
         faces = crop_resize(frame, det.boxes, rec_hw, "cubic")
     emb = arcface_apply(rec_params, rec_normalize(faces), network=rec_network,
@@ -131,7 +131,8 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
                              nms_exact=nms_exact, ldm=ldm)
 
     if align and use_landmarks:
-        faces = jax.vmap(lambda f, lm: warp_align(f, lm, rec_hw))(
+        faces = jax.vmap(lambda f, lm: warp_align(f, lm, rec_hw,
+                                                  dtype=dtype))(
             frames, det.landmarks)
     else:
         faces = jax.vmap(lambda f, b: crop_resize(f, b, rec_hw, "cubic"))(

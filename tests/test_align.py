@@ -101,6 +101,24 @@ def test_warp_shear_embedding_impact(reference_dir):
     assert cos_dist.max() < 1e-3, cos_dist
 
 
+def test_warp_shear_bf16_matmuls_close_to_f32(reference_dir):
+    """dtype=bfloat16 runs the two pass matmuls in bf16 (halves the banded
+    weight matrices' HBM traffic — the warp's dominant cost; positions and
+    accumulation stay f32). Crop error vs the f32 path stays within 2
+    uint8 LSBs worst-case (one bf16 rounding per pass) and well under
+    1/4 LSB on average."""
+    frame = jnp.asarray(cv2.resize(
+        cv2.imread(f"{reference_dir}/imgs/2.jpg"), (640, 480)
+    ).astype(np.float32))
+    lms = jnp.asarray(np.stack([
+        _mk_lm(0.0, 2.0, 150, 80), _mk_lm(0.3, 1.5, 300, 200),
+        _mk_lm(-0.5, 2.5, 200, 150), _mk_lm(0.1, 0.8, 100, 100)]))
+    a = np.asarray(warp_align_shear(frame, lms))
+    b = np.asarray(warp_align_shear(frame, lms, dtype=jnp.bfloat16))
+    d = np.abs(a - b)
+    assert d.max() < 2.5 and d.mean() < 0.25, (d.max(), d.mean())
+
+
 def test_warp_batch_shapes(rng):
     frame = rng.uniform(0, 255, size=(240, 320, 3)).astype(np.float32)
     lms = np.stack([ARCFACE_TEMPLATE_112 + 10, ARCFACE_TEMPLATE_112 * 1.5])

@@ -169,6 +169,28 @@ def test_arcface_int8_drift(rng):
     assert (1 - cos).max() < 5e-3, 1 - cos
 
 
+def test_arcface_int8_batch_invariant(rng):
+    """int8 activation scales are PER SAMPLE, so a face's embedding is
+    bit-identical regardless of the other faces in its batch (the int8
+    conv accumulates in exact integer arithmetic; every other op is
+    elementwise per sample). Per-tensor dynamic scales — the r1 design —
+    broke this: one loud face widened the quantization step for the whole
+    batch, so enroll-time and serve-time embeddings of the same crop could
+    differ with batch composition."""
+    import jax
+    import jax.numpy as jnp
+    from facekit.models.arcface import (arcface_apply, arcface_init,
+                                        quantize_arcface_params)
+    pq = quantize_arcface_params(
+        arcface_init(jax.random.PRNGKey(1), network="ir_tiny"))
+    x = rng.uniform(-1, 1, size=(4, 112, 112, 3)).astype(np.float32)
+    y = x.copy()
+    y[0] *= 50.0    # replace one neighbour with a loud outlier
+    e_x = np.asarray(arcface_apply(pq, jnp.asarray(x), network="ir_tiny"))
+    e_y = np.asarray(arcface_apply(pq, jnp.asarray(y), network="ir_tiny"))
+    np.testing.assert_array_equal(e_x[1:], e_y[1:])
+
+
 def test_pipeline_rec_quantize_roundtrip(rng):
     """rec_quantize config: the pipeline serves quantized embeddings whose
     nearest-neighbour structure matches the float model."""
