@@ -1,7 +1,10 @@
 from facekit.models.arcface import (  # noqa: F401
+    arcface_act_amax,
     arcface_apply,
     arcface_init,
     ARCFACE_STAGE_UNITS,
+    calibrate_arcface_int8,
+    quantize_arcface_params,
 )
 from facekit.models.retinaface import (  # noqa: F401
     retinaface_apply,

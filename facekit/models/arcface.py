@@ -18,7 +18,7 @@ converted torch Linear weights apply unchanged.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,53 +82,73 @@ def _block_init(key, in_c: int, depth: int, stride: int, se: bool):
     return p
 
 
-def _conv(x, w, stride: int, padding: int):
-    """Dispatch on weight form: plain HWIO array, or {"q", "scale"} int8
-    pair produced by quantize_arcface_params (static at trace time)."""
+def _conv(x, w, stride: int, padding: int, stats=None, name: str = ""):
+    """Dispatch on weight form: plain HWIO array, or {"q", "scale"[,
+    "ascale"]} int8 dict produced by quantize_arcface_params (static at
+    trace time). With ``stats`` (a dict, calibration mode) the input's
+    amax is recorded under ``name`` — the same key quantize/calibrate use
+    to attach the static activation scale."""
+    if stats is not None:
+        stats[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
     if isinstance(w, dict):
         return L.conv2d_int8(x, w["q"], w["scale"], stride=stride,
-                             padding=padding)
+                             padding=padding, ascale=w.get("ascale"))
     return L.conv2d(x, w, stride=stride, padding=padding)
 
 
-def _block_apply(x, p, stride: int):
+def _block_apply(x, p, stride: int, stats=None, prefix: str = ""):
     if "shortcut" in p:
-        sc = _conv(x, p["shortcut"]["conv"], stride=stride, padding=0)
+        sc = _conv(x, p["shortcut"]["conv"], stride=stride, padding=0,
+                   stats=stats, name=f"{prefix}.shortcut")
         sc = L.batch_norm(sc, p["shortcut"]["bn"])
     else:
         sc = L.strided_identity(x, stride)
     r = L.batch_norm(x, p["bn1"])
-    r = _conv(r, p["conv1"], stride=1, padding=1)
+    r = _conv(r, p["conv1"], stride=1, padding=1, stats=stats,
+              name=f"{prefix}.conv1")
     r = L.prelu(r, p["prelu"])
-    r = _conv(r, p["conv2"], stride=stride, padding=1)
+    r = _conv(r, p["conv2"], stride=stride, padding=1, stats=stats,
+              name=f"{prefix}.conv2")
     r = L.batch_norm(r, p["bn2"])
     if "se" in p:
         r = _se_apply(r, p["se"])
     return r + sc
 
 
-def quantize_arcface_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_arcface_params(params: Dict[str, Any],
+                            act_amax: Optional[Dict[str, float]] = None
+                            ) -> Dict[str, Any]:
     """Post-training int8 weight quantization of every backbone conv
     (per-output-channel scales); BN/PReLU/SE/linear stay float. Activations
-    quantize dynamically per sample inside conv2d_int8. Apply with the same
-    ``arcface_apply`` — the weight form dispatches (facekit's lower-precision
-    serving point vs the reference's fp16 engines,
+    quantize dynamically per sample inside conv2d_int8 — or statically when
+    ``act_amax`` (per-site activation maxima from ``arcface_act_amax`` /
+    ``calibrate_arcface_int8``) provides a calibrated scale, which removes
+    one full reduction pass over every conv input. Apply with the same
+    ``arcface_apply`` — the weight form dispatches (facekit's
+    lower-precision serving point vs the reference's fp16 engines,
     conversion/arcface/torch2trt.py:42-44). Drift bounds:
     tests/test_model_parity.py::test_arcface_int8_drift."""
-    def q(w):
+    def q(w, name):
         wq, scale = L.quantize_conv_weight(w)
-        return {"q": wq, "scale": scale}
+        d = {"q": wq, "scale": scale}
+        if act_amax is not None:
+            d["ascale"] = jnp.float32(
+                max(float(act_amax[name]), 1e-12) / 127.0)
+        return d
 
     out: Dict[str, Any] = {
-        "input": dict(params["input"], conv=q(params["input"]["conv"])),
+        "input": dict(params["input"],
+                      conv=q(params["input"]["conv"], "input")),
         "blocks": [],
         "output": params["output"],
     }
-    for p in params["blocks"]:
-        blk = dict(p, conv1=q(p["conv1"]), conv2=q(p["conv2"]))
+    for i, p in enumerate(params["blocks"]):
+        blk = dict(p, conv1=q(p["conv1"], f"b{i}.conv1"),
+                   conv2=q(p["conv2"], f"b{i}.conv2"))
         if "shortcut" in p:
             blk["shortcut"] = dict(p["shortcut"],
-                                   conv=q(p["shortcut"]["conv"]))
+                                   conv=q(p["shortcut"]["conv"],
+                                          f"b{i}.shortcut"))
         out["blocks"].append(blk)
     return out
 
@@ -174,18 +194,18 @@ def _network_specs(network: str):
     return _block_specs(base)
 
 
-@functools.partial(jax.jit, static_argnames=("network", "dtype"))
-def arcface_apply(params: Dict[str, Any], x: jnp.ndarray,
-                  network: str = "ir_50", dtype=jnp.float32) -> jnp.ndarray:
-    """(N, H, W, 3) normalized RGB -> (N, 512) L2-normalized embeddings."""
+def _forward(params: Dict[str, Any], x: jnp.ndarray, network: str,
+             dtype, stats=None) -> jnp.ndarray:
     specs = _network_specs(network)
     x = x.astype(dtype)
     p_in = params["input"]
-    x = _conv(x, p_in["conv"], stride=1, padding=1)
+    x = _conv(x, p_in["conv"], stride=1, padding=1, stats=stats,
+              name="input")
     x = L.batch_norm(x, p_in["bn"])
     x = L.prelu(x, p_in["prelu"])
-    for p_blk, (_, _, stride) in zip(params["blocks"], specs):
-        x = _block_apply(x, p_blk, stride)
+    for i, (p_blk, (_, _, stride)) in enumerate(zip(params["blocks"],
+                                                    specs)):
+        x = _block_apply(x, p_blk, stride, stats=stats, prefix=f"b{i}")
     p_out = params["output"]
     x = L.batch_norm(x, p_out["bn2d"])
     # torch flattens NCHW; transpose so converted Linear weights line up
@@ -197,3 +217,47 @@ def arcface_apply(params: Dict[str, Any], x: jnp.ndarray,
     # torch F.normalize clamps the denominator at eps=1e-12 (reference :171)
     norm = jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     return x / norm
+
+
+@functools.partial(jax.jit, static_argnames=("network", "dtype"))
+def arcface_apply(params: Dict[str, Any], x: jnp.ndarray,
+                  network: str = "ir_50", dtype=jnp.float32) -> jnp.ndarray:
+    """(N, H, W, 3) normalized RGB -> (N, 512) L2-normalized embeddings."""
+    return _forward(params, x, network, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("network",))
+def arcface_act_amax(params: Dict[str, Any], x: jnp.ndarray,
+                     network: str = "ir_50") -> Dict[str, jnp.ndarray]:
+    """Per-conv-site activation amax of one f32 forward pass, keyed by the
+    same site names quantize_arcface_params uses ("input", "b3.conv1", ...).
+    Building block for int8 calibration."""
+    stats: Dict[str, jnp.ndarray] = {}
+    _forward(params, x, network, jnp.float32, stats=stats)
+    return stats
+
+
+def calibrate_arcface_int8(params: Dict[str, Any],
+                           batches: Iterable[jnp.ndarray],
+                           network: str = "ir_50",
+                           headroom: float = 1.0) -> Dict[str, Any]:
+    """Post-training calibration: fold activation maxima over the given
+    (N, H, W, 3) normalized-RGB batches, then quantize with STATIC
+    activation scales (amax * headroom). vs dynamic quantization this
+    removes one full reduction pass per conv input (XLA fuses the
+    elementwise quantize into the producer) at the cost of saturating
+    activations that exceed the calibration range — the standard
+    TensorRT-style PTQ trade (the reference's engines are built by the
+    same kind of offline pass, conversion/arcface/torch2trt.py:29-47).
+    """
+    agg: Dict[str, float] = {}
+    n = 0
+    for x in batches:
+        stats = arcface_act_amax(params, jnp.asarray(x), network=network)
+        for k, v in stats.items():
+            agg[k] = max(agg.get(k, 0.0), float(v))
+        n += 1
+    if n == 0:
+        raise ValueError("calibration needs at least one batch")
+    return quantize_arcface_params(
+        params, act_amax={k: v * headroom for k, v in agg.items()})

@@ -89,9 +89,10 @@ def quantize_conv_weight(w_hwio: jnp.ndarray):
 
 def conv2d_int8(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
                 stride: int = 1, padding: int = 0,
-                groups: int = 1) -> jnp.ndarray:
-    """int8 conv: dynamic per-tensor activation quantization, s8 x s8 -> s32
-    on the MXU, dequantized with (act_scale * per-channel weight scale).
+                groups: int = 1,
+                ascale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """int8 conv: s8 x s8 -> s32 on the MXU, dequantized with
+    (act_scale * per-channel weight scale).
 
     Halves the weight-streaming bandwidth vs bf16 and doubles MXU rate on
     hardware with native s8 matmul; the surrounding BN/PReLU stay in the
@@ -100,14 +101,24 @@ def conv2d_int8(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
     — a lower-precision, higher-throughput serving point with measured
     drift bounds (tests/test_model_parity.py::test_arcface_int8_drift).
 
-    Activation scales are PER SAMPLE (amax over H, W, C): a conv never
-    mixes batch elements, so the dequant broadcasts (N,1,1,1) exactly, and
-    one outlier face no longer widens the quantization step for the whole
-    batch — same op count, measurably lower embedding drift.
+    Activation quantization, two modes:
+      * dynamic (``ascale=None``): amax PER SAMPLE (over H, W, C) — a conv
+        never mixes batch elements, so the dequant broadcasts (N,1,1,1)
+        exactly, and one outlier face cannot widen the quantization step
+        for its batch neighbours. Costs one full reduction pass over the
+        input per conv.
+      * static (``ascale`` = calibrated scalar): quantize is a pure
+        elementwise op that XLA fuses into the producer — no reduction
+        pass. Values beyond +-127*ascale saturate (standard post-training
+        calibration semantics; see arcface.calibrate stats).
+    Both modes keep embeddings bit-invariant to batch composition.
     """
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3),
-                   keepdims=True)
-    ascale = jnp.maximum(amax, 1e-12) / 127.0
+    if ascale is None:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3),
+                       keepdims=True)
+        ascale = jnp.maximum(amax, 1e-12) / 127.0
+    else:
+        ascale = jnp.asarray(ascale, jnp.float32)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ascale),
                   -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(

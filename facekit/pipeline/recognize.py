@@ -288,6 +288,7 @@ class FacePipeline:
                  rec_params: Dict[str, Any]):
         self.config = config
         self.det_params = det_params
+        self._rec_params_float = rec_params
         if getattr(config, "rec_quantize", False):
             from facekit.models.arcface import quantize_arcface_params
             rec_params = quantize_arcface_params(rec_params)
@@ -299,6 +300,29 @@ class FacePipeline:
             config.extras.get("rec_useAlignment", False))
         self.dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                       else jnp.float32)
+
+    def calibrate_embedder(self, crop_batches, headroom: float = 1.0) -> None:
+        """Switch the int8 embedder from dynamic to CALIBRATED static
+        activation scales (requires ``rec_quantize``).
+
+        ``crop_batches``: iterable of (N, rec_h, rec_w, 3) BGR uint8-range
+        face-crop batches (e.g. a sample of the enrollment gallery). Each
+        is normalized exactly like the serving path, activation maxima are
+        folded across all batches, and the quantized params are rebuilt
+        with static scales — removing one full reduction pass per conv
+        input from every subsequent embed (facekit.models.layers.conv2d_int8).
+        Jitted serving programs pick the new params up on the next call
+        (same pytree structure + one extra scalar leaf per conv, so the
+        first post-calibration call recompiles once per program).
+        """
+        if not getattr(self.config, "rec_quantize", False):
+            raise ValueError("calibrate_embedder requires rec_quantize")
+        from facekit.models.arcface import calibrate_arcface_int8
+        batches = (rec_normalize(jnp.asarray(b, jnp.float32))
+                   for b in crop_batches)
+        self.rec_params = calibrate_arcface_int8(
+            self._rec_params_float, batches,
+            network=self.config.rec_network, headroom=headroom)
 
     # -- device programs -----------------------------------------------------
 

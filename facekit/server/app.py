@@ -42,6 +42,32 @@ def _require_cv2():
     return cv2
 
 
+def _load_calibration_crops(folder: str, rec_hw, batch: int = 16,
+                            limit: int = 256):
+    """Yield (N, rec_h, rec_w, 3) uint8 BGR batches from a folder of face
+    images (resized, not detected — calibration wants the embedder's input
+    distribution, which the serving path produces at rec_hw)."""
+    cv2 = _require_cv2()
+    h, w = rec_hw
+    acc = []
+    n = 0
+    for fname in sorted(os.listdir(folder)):
+        img = cv2.imread(os.path.join(folder, fname))
+        if img is None:
+            continue
+        acc.append(cv2.resize(img, (w, h)))
+        n += 1
+        if len(acc) == batch:
+            yield np.stack(acc)
+            acc = []
+        if n >= limit:
+            break
+    if acc:
+        yield np.stack(acc)
+    if n == 0:
+        raise ValueError(f"no readable calibration images in {folder}")
+
+
 class FaceServer:
     """Wires config -> models -> pipeline -> gallery -> db (src/app.cpp:12-106)."""
 
@@ -72,6 +98,14 @@ class FaceServer:
             rec_params = rec_params if rec_params is not None else rec_init
 
         self.pipeline = FacePipeline(config, det_params, rec_params)
+        # optional int8 calibration (extras.rec_calibrationDir): a folder
+        # of face crops sampled offline; static activation scales replace
+        # the per-conv dynamic amax pass (see FacePipeline.calibrate_embedder)
+        calib_dir = config.extras.get("rec_calibrationDir")
+        if calib_dir and getattr(config, "rec_quantize", False):
+            self.pipeline.calibrate_embedder(
+                _load_calibration_crops(calib_dir, config.rec_hw))
+            log.info("int8 embedder calibrated from %s", calib_dir)
         self.db = Database(config.database_path, config.rec_outputDim)
         mesh = None
         if config.mesh_shape:

@@ -191,6 +191,60 @@ def test_arcface_int8_batch_invariant(rng):
     np.testing.assert_array_equal(e_x[1:], e_y[1:])
 
 
+def test_arcface_int8_calibrated_static_scales(rng):
+    """Calibrated static activation scales: drift vs the dynamic-scale
+    int8 path stays small on in-distribution inputs, covers every conv
+    site (KeyError otherwise), saturates gracefully on out-of-range
+    inputs, and keeps the L2-norm invariant."""
+    import jax
+    import jax.numpy as jnp
+    from facekit.models.arcface import (arcface_apply, arcface_init,
+                                        calibrate_arcface_int8,
+                                        quantize_arcface_params)
+    p = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    calib = [jnp.asarray(rng.uniform(-1, 1, size=(4, 112, 112, 3))
+                         .astype(np.float32)) for _ in range(2)]
+    pq_dyn = quantize_arcface_params(p)
+    pq_cal = calibrate_arcface_int8(p, calib, network="ir_tiny")
+    x = jnp.asarray(rng.uniform(-1, 1, size=(4, 112, 112, 3))
+                    .astype(np.float32))
+    e_dyn = np.asarray(arcface_apply(pq_dyn, x, network="ir_tiny"))
+    e_cal = np.asarray(arcface_apply(pq_cal, x, network="ir_tiny"))
+    np.testing.assert_allclose(np.linalg.norm(e_cal, axis=1), 1.0,
+                               atol=1e-5)
+    cos = (e_dyn * e_cal).sum(-1)
+    assert (1 - cos).max() < 5e-3, 1 - cos
+    # out-of-calibration-range input: activations saturate, output stays
+    # a valid unit vector (no NaN/inf)
+    e_hot = np.asarray(arcface_apply(pq_cal, x * 10.0, network="ir_tiny"))
+    assert np.isfinite(e_hot).all()
+    np.testing.assert_allclose(np.linalg.norm(e_hot, axis=1), 1.0,
+                               atol=1e-5)
+
+
+def test_pipeline_calibrate_embedder(rng):
+    """FacePipeline.calibrate_embedder swaps dynamic int8 for calibrated
+    static scales; served embeddings stay close and the serving programs
+    keep working after the pytree change."""
+    import jax
+    from facekit.config import FaceKitConfig
+    from facekit.models import arcface_init
+    from facekit.models.lightdet import lightdet_init
+    from facekit.pipeline import FacePipeline
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    kw = dict(det_network="slim", rec_network="ir_tiny",
+              det_inputShape=(3, 64, 64), input_frameWidth=160,
+              input_frameHeight=120, compute_dtype="float32")
+    pipe = FacePipeline(FaceKitConfig(rec_quantize=True, **kw), det, rec)
+    crops = rng.integers(0, 256, size=(4, 112, 112, 3)).astype(np.uint8)
+    e_dyn = np.asarray(pipe.embed_cropped_batch(crops))
+    pipe.calibrate_embedder([crops])
+    e_cal = np.asarray(pipe.embed_cropped_batch(crops))
+    cos = (e_dyn * e_cal).sum(-1)
+    assert (1 - cos).max() < 5e-3, 1 - cos
+
+
 def test_pipeline_rec_quantize_roundtrip(rng):
     """rec_quantize config: the pipeline serves quantized embeddings whose
     nearest-neighbour structure matches the float model."""

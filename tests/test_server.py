@@ -459,6 +459,40 @@ async def test_server_full_int8_with_mesh(tmp_path_factory, tmp_path, rng):
         assert body["similarity"] > 0.9
 
 
+async def test_server_int8_calibration_dir(tmp_path_factory, tmp_path, rng):
+    """extras.rec_calibrationDir: the server calibrates the quantized
+    embedder at startup (static activation scales) and the endpoint flow
+    still identifies the enrolled face."""
+    from facekit.models.lightdet import lightdet_init
+    calib_dir = tmp_path / "calib"
+    calib_dir.mkdir()
+    for i in range(3):
+        img = rng.integers(0, 256, size=(112, 112, 3)).astype(np.uint8)
+        cv2.imwrite(str(calib_dir / f"c{i}.jpg"), img)
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("cal") / "cal.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        rec_quantize=True, use_pallas_search=False,
+        extras={"server_batchSize": 2,
+                "rec_calibrationDir": str(calib_dir)})
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    # every quantized conv carries a static scale after calibration
+    assert "ascale" in srv.pipeline.rec_params["input"]["conv"]
+    data, _ = _jpg(rng, hw=(112, 112))
+    decoded = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    emb = srv.pipeline.embed_cropped(decoded)
+    srv.gallery.load(["cal"], emb[None])
+    async with make_client(srv) as client:
+        r = await client.post("/recognize", data=data)
+        body = json.loads(await r.text())
+        assert body["userId"] == "cal"
+        assert body["similarity"] > 0.9
+
+
 def test_config_roundtrip_new_fields(tmp_path):
     """Round-2 config fields load from JSON files (det_nmsTopK/Exact,
     rec_quantize, mesh_shape) and reference JSONs still work verbatim."""
