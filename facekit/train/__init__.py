@@ -1,4 +1,8 @@
-from facekit.train.arcface_head import arc_margin_logits, head_init  # noqa: F401
+from facekit.train.arcface_head import (  # noqa: F401
+    arc_margin_logits,
+    combined_margin_logits,
+    head_init,
+)
 from facekit.train.step import (  # noqa: F401
     TrainState,
     make_train_step,

@@ -44,3 +44,25 @@ def arc_margin_logits(head: Dict, embeddings: jnp.ndarray,
     phi = jnp.where(cos > th, phi, cos - mm)
     onehot = jax.nn.one_hot(labels, w.shape[0], dtype=cos.dtype)
     return scale * (onehot * phi + (1.0 - onehot) * cos)
+
+
+def combined_margin_logits(head: Dict, embeddings: jnp.ndarray,
+                           labels: jnp.ndarray, m1: float = 1.0,
+                           m2: float = 0.5, m3: float = 0.0,
+                           scale: float = 64.0) -> jnp.ndarray:
+    """Generalized insightface margin: target logit = cos(m1*theta + m2) - m3.
+
+    (1, m, 0) = ArcFace, (1, 0, m) = CosFace (Wang et al. 2018),
+    (m, 0, 0) = SphereFace (Liu et al. 2017); intermediate triples are the
+    "combined margin" of the insightface training recipes. The margined
+    angle is clipped to [0, pi] (the standard stabilization), so the
+    target logit is monotone in theta for any margin triple.
+    """
+    w = head["w"]
+    wn = w / jnp.linalg.norm(w, axis=1, keepdims=True)
+    cos = embeddings @ wn.T                                 # (B, C)
+    cos = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos)
+    phi = jnp.cos(jnp.clip(m1 * theta + m2, 0.0, jnp.pi)) - m3
+    onehot = jax.nn.one_hot(labels, w.shape[0], dtype=cos.dtype)
+    return scale * (onehot * phi + (1.0 - onehot) * cos)

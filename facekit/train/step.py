@@ -18,7 +18,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from facekit.models.arcface import arcface_apply, arcface_init
-from facekit.train.arcface_head import arc_margin_logits, head_init
+from facekit.train.arcface_head import (arc_margin_logits,
+                                        combined_margin_logits, head_init)
 
 
 class TrainState(NamedTuple):
@@ -64,10 +65,16 @@ def train_shardings(state: TrainState, mesh: Mesh,
 
 def make_train_step(network: str = "ir_50", lr: float = 0.1,
                     margin: float = 0.5, scale: float = 64.0,
-                    remat: bool = False):
+                    remat: bool = False, margins=None):
     """``remat=True`` rematerializes the backbone forward in the backward
     pass (jax.checkpoint), trading ~1.3x FLOPs for activation memory —
-    needed for large batches of IR-101/152 on one chip."""
+    needed for large batches of IR-101/152 on one chip.
+
+    ``margins``: optional (m1, m2, m3) triple selecting the generalized
+    combined margin (SphereFace/ArcFace/CosFace — see
+    combined_margin_logits); default None keeps the classic additive
+    angular margin head with ``margin``.
+    """
     tx = make_optimizer(lr)
 
     backbone = functools.partial(arcface_apply, network=network,
@@ -77,7 +84,12 @@ def make_train_step(network: str = "ir_50", lr: float = 0.1,
 
     def loss_fn(params, head, images, labels):
         emb = backbone(params, images)
-        logits = arc_margin_logits(head, emb, labels, margin, scale)
+        if margins is not None:
+            m1, m2, m3 = margins
+            logits = combined_margin_logits(head, emb, labels, m1, m2, m3,
+                                            scale)
+        else:
+            logits = arc_margin_logits(head, emb, labels, margin, scale)
         losses = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels)
         return losses.mean()

@@ -1,0 +1,98 @@
+"""Margin-head math: ArcFace additive angular margin and the generalized
+combined margin (SphereFace m1 / ArcFace m2 / CosFace m3).
+
+The reference has no training at all (SURVEY.md §2.9); this facekit
+extension restores the training recipe its IR-50 checkpoint came from
+(ArcFace, conversion/arcface/model_irse.py provenance) plus the other
+standard insightface margins.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from facekit.train import (arc_margin_logits, combined_margin_logits,
+                           head_init)
+
+
+def _setup(rng, b=6, c=16, d=32):
+    head = head_init(jax.random.PRNGKey(0), c, d)
+    emb = rng.normal(0, 1, size=(b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = (rng.integers(0, c, size=(b,))).astype(np.int32)
+    return head, jnp.asarray(emb), jnp.asarray(labels)
+
+
+def _plain_cos(head, emb):
+    w = np.asarray(head["w"])
+    wn = w / np.linalg.norm(w, axis=1, keepdims=True)
+    return np.asarray(emb) @ wn.T
+
+
+def test_cosface_is_additive_on_target(rng):
+    """(1, 0, m3): target logit = s*(cos - m3) exactly; others untouched."""
+    head, emb, labels = _setup(rng)
+    s, m3 = 64.0, 0.35
+    out = np.asarray(combined_margin_logits(head, emb, labels,
+                                            1.0, 0.0, m3, s))
+    cos = _plain_cos(head, emb)
+    expect = s * cos.copy()
+    expect[np.arange(len(labels)), np.asarray(labels)] = (
+        s * (cos[np.arange(len(labels)), np.asarray(labels)] - m3))
+    np.testing.assert_allclose(out, expect, atol=2e-4)
+
+
+def test_combined_m2_matches_arcface(rng):
+    """(1, m, 0) reproduces the classic additive angular margin head in
+    the non-degenerate region (theta + m < pi)."""
+    head, emb, labels = _setup(rng)
+    a = np.asarray(arc_margin_logits(head, emb, labels, 0.5, 64.0))
+    b = np.asarray(combined_margin_logits(head, emb, labels,
+                                          1.0, 0.5, 0.0, 64.0))
+    cos = _plain_cos(head, emb)
+    tgt = cos[np.arange(len(np.asarray(labels))), np.asarray(labels)]
+    ok = tgt > np.cos(np.pi - 0.5)   # arc's easy-margin region
+    np.testing.assert_allclose(a[ok], b[ok], atol=5e-4)
+
+
+def test_sphereface_margin_reduces_target(rng):
+    """(m1, 0, 0): multiplicative angular margin lowers the target logit,
+    leaves the rest, and keeps gradients finite."""
+    head, emb, labels = _setup(rng)
+    out = np.asarray(combined_margin_logits(head, emb, labels,
+                                            1.35, 0.0, 0.0, 64.0))
+    cos = _plain_cos(head, emb) * 64.0
+    idx = np.arange(len(np.asarray(labels))), np.asarray(labels)
+    assert (out[idx] <= cos[idx] + 1e-3).all()
+    mask = np.ones_like(cos, bool)
+    mask[idx] = False
+    np.testing.assert_allclose(out[mask], cos[mask], atol=2e-4)
+
+    def loss(e):
+        return combined_margin_logits(head, e, labels,
+                                      1.35, 0.0, 0.0, 64.0).sum()
+    g = jax.grad(loss)(emb)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_train_step_with_combined_margins(rng):
+    """make_train_step(margins=...) runs end-to-end on the tiny backbone:
+    finite losses, params actually update, and a small-lr step sequence
+    improves on the fixed batch."""
+    from facekit.train import make_train_step, train_state_init
+    state = train_state_init(jax.random.PRNGKey(0), num_classes=8,
+                             network="ir_tiny", lr=0.01)
+    step = make_train_step(network="ir_tiny", lr=0.01,
+                           margins=(1.0, 0.3, 0.2))
+    x = jnp.asarray(rng.normal(0, 1, size=(8, 112, 112, 3))
+                    .astype(np.float32))
+    y = jnp.arange(8, dtype=jnp.int32) % 8
+    w0 = np.asarray(state.head["w"])
+    state, l0 = step(state, x, y)
+    losses = [float(l0)]
+    for _ in range(5):
+        state, loss = step(state, x, y)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert not np.array_equal(w0, np.asarray(state.head["w"]))
+    assert min(losses[1:]) < losses[0], losses
