@@ -258,17 +258,6 @@ def main():
             extra["batch8_int8_embedder_device_ms"] = dev_q * 1e3
             extra["int8_embedder_slots_per_sec"] = (
                 cfg.det_maxFacesPerScene * len(frames) / dev_q)
-        _log("profiling batch-16 int8-embedder device time...")
-        warm16q = np.roll(fb16, 10, axis=0).copy()
-        warm16q[0, 6, 6, 0] ^= 1
-        pipe_q.recognize_frames(warm16q).embeddings.block_until_ready()
-        dev16q = device_time_per_call(
-            lambda j: pipe_q.recognize_frames(fbs16[j]).embeddings, 5)
-        if dev16q:
-            extra["batch16_int8_embedder_device_ms"] = dev16q * 1e3
-            extra["batch16_int8_embedder_slots_per_sec"] = (
-                cfg.det_maxFacesPerScene * 16 / dev16q)
-
         # calibrated int8: static activation scales (no per-conv amax
         # reduction pass) — facekit's fastest embedder point. Calibrating
         # mutates pipe_q's params, so this section runs LAST of the int8
@@ -288,6 +277,36 @@ def main():
             extra["batch8_int8_calibrated_device_ms"] = dev_c * 1e3
             extra["int8_calibrated_slots_per_sec"] = (
                 cfg.det_maxFacesPerScene * len(frames) / dev_c)
+
+        # throughput-optimal batch (server_batchSize=64): MXU utilization
+        # of the C=64 ArcFace stages keeps rising with batch (measured
+        # b8 -> b64: bf16 6,978 -> 9,505; calibrated int8 9,999 -> 12,679
+        # slots/sec) — the batch/offline-enrollment configuration.
+        # Failure-tolerant: a miss here must not kill the bench.
+        try:
+            _log("profiling batch-64 device time (bf16 + calibrated int8)...")
+            fb64 = np.concatenate([fb ^ np.uint8(k) for k in range(8)])
+            fbs64 = [np.roll(fb64, j + 3, axis=0).copy() for j in range(5)]
+            for j, f in enumerate(fbs64):
+                f[0, 2, 2, 0] ^= np.uint8(j + 1)
+            warm64 = np.roll(fb64, 9, axis=0).copy()
+            warm64[0, 4, 4, 0] ^= 1
+            pipe.recognize_frames(warm64).embeddings.block_until_ready()
+            dev64 = device_time_per_call(
+                lambda j: pipe.recognize_frames(fbs64[j]).embeddings, 5)
+            if dev64:
+                extra["batch64_device_ms"] = dev64 * 1e3
+                extra["batch64_device_slots_per_sec"] = (
+                    cfg.det_maxFacesPerScene * 64 / dev64)
+            pipe_q.recognize_frames(warm64).embeddings.block_until_ready()
+            dev64q = device_time_per_call(
+                lambda j: pipe_q.recognize_frames(fbs64[j]).embeddings, 5)
+            if dev64q:
+                extra["batch64_int8_calibrated_device_ms"] = dev64q * 1e3
+                extra["batch64_int8_calibrated_slots_per_sec"] = (
+                    cfg.det_maxFacesPerScene * 64 / dev64q)
+        except Exception as e:  # pragma: no cover - bench resilience
+            _log(f"batch-64 section skipped: {e}")
 
         # the COMPLETE serving transaction: fused detect + align + embed +
         # 1M-row gallery match in one device program (what WS /inference
@@ -396,14 +415,20 @@ def main():
         search_times = bench_search(10_000, 16, 5, use_pallas=False)
         extra["search_10k_b16_p50_ms_cpu"] = _percentile(search_times, 50) * 1e3
 
-    # headline = the better of the two measured stock serving configs
-    # (both are one-line config changes; extra labels which one won and
-    # keeps every per-config number)
-    if extra.get("batch16_device_slots_per_sec", 0) > slots_per_sec:
-        slots_per_sec = extra["batch16_device_slots_per_sec"]
-        extra["headline_config"] = "bf16 batch-16 (server_batchSize=16)"
-    elif "device_slots_per_sec" in extra:
-        extra["headline_config"] = "bf16 batch-8 (default config)"
+    # headline = the best measured stock bf16 serving config (each is a
+    # one-line server_batchSize change; extra labels which one won and
+    # keeps every per-config number — int8 points stay labeled extras)
+    candidates = [
+        (extra.get("device_slots_per_sec", 0), "bf16 batch-8 (default config)"),
+        (extra.get("batch16_device_slots_per_sec", 0),
+         "bf16 batch-16 (server_batchSize=16)"),
+        (extra.get("batch64_device_slots_per_sec", 0),
+         "bf16 batch-64 (server_batchSize=64, throughput config)"),
+    ]
+    best, label = max(candidates)
+    if best > 0:
+        slots_per_sec = best
+        extra["headline_config"] = label
 
     print(json.dumps({
         "metric": "slots/sec end-to-end (detect+align+embed, padded slots)",

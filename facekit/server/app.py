@@ -103,9 +103,15 @@ class FaceServer:
         # the per-conv dynamic amax pass (see FacePipeline.calibrate_embedder)
         calib_dir = config.extras.get("rec_calibrationDir")
         if calib_dir and getattr(config, "rec_quantize", False):
-            self.pipeline.calibrate_embedder(
-                _load_calibration_crops(calib_dir, config.rec_hw))
-            log.info("int8 embedder calibrated from %s", calib_dir)
+            try:
+                self.pipeline.calibrate_embedder(
+                    _load_calibration_crops(calib_dir, config.rec_hw))
+                log.info("int8 embedder calibrated from %s", calib_dir)
+            except (OSError, ValueError) as e:
+                # missing/empty folder: serve with dynamic per-sample
+                # scales rather than refusing to start
+                log.warning("int8 calibration skipped (%s); "
+                            "using dynamic activation scales", e)
         self.db = Database(config.database_path, config.rec_outputDim)
         mesh = None
         if config.mesh_shape:

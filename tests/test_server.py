@@ -3,6 +3,7 @@
 
 import contextlib
 import json
+import os
 
 import cv2
 import jax
@@ -491,6 +492,46 @@ async def test_server_int8_calibration_dir(tmp_path_factory, tmp_path, rng):
         body = json.loads(await r.text())
         assert body["userId"] == "cal"
         assert body["similarity"] > 0.9
+
+
+async def test_server_missing_calibration_dir_degrades(tmp_path_factory,
+                                                       rng):
+    """A configured-but-absent rec_calibrationDir must not refuse startup:
+    the server logs a warning and serves with dynamic activation scales."""
+    from facekit.models.lightdet import lightdet_init
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("nocal") / "n.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        rec_quantize=True, use_pallas_search=False,
+        extras={"server_batchSize": 2,
+                "rec_calibrationDir": "/nonexistent/calib"})
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    assert "ascale" not in srv.pipeline.rec_params["input"]["conv"]
+    data, _ = _jpg(rng, hw=(112, 112))
+    decoded = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    emb = srv.pipeline.embed_cropped(decoded)
+    srv.gallery.load(["nc"], emb[None])
+    async with make_client(srv) as client:
+        r = await client.post("/recognize", data=data)
+        assert json.loads(await r.text())["userId"] == "nc"
+
+
+def test_throughput_config_profile_loads():
+    """configs/throughput.json parses: typed fields land, serving knobs
+    land in extras, and it selects the measured throughput configuration
+    (batch-64, int8 embedder + gallery)."""
+    from facekit.config import load_config
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "throughput.json"))
+    assert cfg.rec_quantize is True
+    assert cfg.gallery_dtype == "int8"
+    assert cfg.compute_dtype == "bfloat16"
+    assert int(cfg.extras["server_batchSize"]) == 64
+    assert cfg.extras["rec_calibrationDir"]
 
 
 def test_config_roundtrip_new_fields(tmp_path):
