@@ -196,24 +196,62 @@ class FaceServer:
 
     def enroll_folder(self, source: str, is_cropped: bool = True) -> int:
         """Batch-enroll <source>/<className>/<img> trees (getFilePaths
-        semantics, src/common.cpp:8-41: class name = subfolder name)."""
+        semantics, src/common.cpp:8-41: class name = subfolder name).
+
+        Unlike the reference's gen mode — one engine call per image
+        (src/app.cpp:69-99) — images stream through the BATCHED device
+        programs at ``server_batchSize`` (padded, fixed shape: the same
+        compiled programs serving traffic), with JPEG decode fanned out on
+        the decode pool. At the measured batch rates this turns a
+        10k-image enrollment from minutes into seconds.
+        """
         cv2 = _require_cv2()
-        count = 0
+        items = []                                 # (class_name, path)
         for class_name in sorted(os.listdir(source)):
             cdir = os.path.join(source, class_name)
             if not os.path.isdir(cdir):
                 continue
             for fname in sorted(os.listdir(cdir)):
-                path = os.path.join(cdir, fname)
-                img = cv2.imread(path)
-                if img is None:
-                    continue
-                emb = self._embed_enrollment_image(img, is_cropped)
-                if emb is None:
+                items.append((class_name, os.path.join(cdir, fname)))
+
+        cfg = self.config
+        rh, rw = cfg.rec_hw
+        bs = self.batch_size
+        count = 0
+        for i in range(0, len(items), bs):
+            chunk = items[i:i + bs]
+            imgs = list(self.decode_pool.map(cv2.imread,
+                                             [p for _, p in chunk]))
+            kept = [(cn, p, im) for (cn, p), im in zip(chunk, imgs)
+                    if im is not None]
+            if not kept:
+                continue
+            n = len(kept)
+            if is_cropped:
+                crops = np.zeros((bs, rh, rw, 3), np.uint8)
+                for j, (_, _, im) in enumerate(kept):
+                    crops[j] = (im if im.shape[:2] == (rh, rw)
+                                else cv2.resize(im, (rw, rh)))
+                embs = self.pipeline.embed_cropped_batch(crops)[:n]
+                ok = [True] * n
+            else:
+                frames = np.zeros((bs, cfg.input_frameHeight,
+                                   cfg.input_frameWidth, 3), np.uint8)
+                for j, (_, _, im) in enumerate(kept):
+                    frames[j] = cv2.resize(im, (cfg.input_frameWidth,
+                                                cfg.input_frameHeight))
+                res = self.pipeline.recognize_frames(frames)
+                valid = np.asarray(res.valid)[:n]
+                embs = np.asarray(res.embeddings)[:n, 0]
+                # reference requires exactly ONE face per enrollment image
+                # (src/app.cpp:171-177)
+                ok = (valid.sum(axis=1) == 1).tolist()
+            for j, (class_name, path, _) in enumerate(kept):
+                if not ok[j]:
                     log.warning("no single face in %s; skipped", path)
                     continue
                 self.db.insert_user(class_name, class_name)
-                self.db.insert_face(class_name, path, emb)
+                self.db.insert_face(class_name, path, np.asarray(embs[j]))
                 count += 1
         return count
 

@@ -43,3 +43,61 @@ def test_enroll_folder_cropped(server, tmp_path, rng):
     names, embs = server.db.get_embeddings()
     assert sorted(set(names)) == ["alice", "bob"]
     np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, rtol=1e-4)
+
+    # enrolled rows must match the serving-path embedder on the same
+    # crops (the batched gen path pads to server_batchSize; padding must
+    # not leak into the stored embeddings)
+    paths = sorted((src / "alice").iterdir()) + sorted((src / "bob").iterdir())
+    crops = np.stack([cv2.imread(str(p)) for p in paths])
+    expect = server.pipeline.embed_cropped_batch(crops)
+    cos = np.stack(list(embs)) @ expect.T
+    assert (cos.max(axis=1) > 1 - 1e-5).all()
+
+
+def test_enroll_folder_with_detection_batched(tmp_path_factory, tmp_path,
+                                              rng):
+    """The uncropped gen path (detector + exactly-one-face rule,
+    src/app.cpp:171-177) through the BATCHED pipeline: enrollment count
+    equals the number of images the serving detector finds exactly one
+    face in, and skipped images leave no DB rows."""
+    import jax
+    from facekit.models.lightdet import lightdet_init
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("gdb2") / "gen2.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False,
+        det_threshold_bbox=0.3, extras={"server_batchSize": 4})
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    server = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+
+    src = tmp_path / "tree"
+    paths = []
+    for name in ("carol", "dave", "erin"):
+        d = src / name
+        d.mkdir(parents=True)
+        for i in range(2):
+            img = rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+            p = d / f"{i}.png"
+            cv2.imwrite(str(p), img)
+            paths.append(p)
+
+    # ground truth from the serving program, batched and padded EXACTLY
+    # like enroll_folder (bit-identical inputs -> bit-identical valid
+    # flags even for near-threshold scores under random weights)
+    srt = sorted(paths)
+    bs, expected = 4, 0
+    for i in range(0, len(srt), bs):
+        chunk = srt[i:i + bs]
+        frames = np.zeros((bs, 120, 160, 3), np.uint8)
+        for j, p in enumerate(chunk):
+            frames[j] = cv2.imread(str(p))
+        v = np.asarray(
+            server.pipeline.recognize_frames(frames).valid)[:len(chunk)]
+        expected += int((v.sum(axis=1) == 1).sum())
+
+    n = server.enroll_folder(str(src), is_cropped=False)
+    assert n == expected
+    assert server.db.get_num_embeddings() == expected
