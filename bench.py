@@ -225,20 +225,26 @@ def main():
         # ArcFace convs are compute-bound, so the bigger dispatch amortizes
         # the fixed per-batch work. The headline reports the better of the
         # two measured serving configs, labeled in extra.
-        _log("profiling batch-16 device time...")
-        fb16 = np.concatenate([fb, fb[::-1] ^ np.uint8(2)])
-        fbs16 = [np.roll(fb16, j + 3, axis=0).copy() for j in range(5)]
-        for j, f in enumerate(fbs16):
-            f[0, 2, 2, 0] ^= np.uint8(j + 1)
-        warm16 = np.roll(fb16, 9, axis=0).copy()
-        warm16[0, 4, 4, 0] ^= 1
-        pipe.recognize_frames(warm16).embeddings.block_until_ready()
-        dev16 = device_time_per_call(
-            lambda j: pipe.recognize_frames(fbs16[j]).embeddings, 5)
-        if dev16:
-            extra["batch16_device_ms"] = dev16 * 1e3
-            extra["batch16_device_slots_per_sec"] = (
-                cfg.det_maxFacesPerScene * 16 / dev16)
+        # every section past the batch-8 headline is failure-tolerant: a
+        # miss (compile OOM, profiler hiccup) must cost that one number,
+        # not the whole bench JSON line
+        try:
+            _log("profiling batch-16 device time...")
+            fb16 = np.concatenate([fb, fb[::-1] ^ np.uint8(2)])
+            fbs16 = [np.roll(fb16, j + 3, axis=0).copy() for j in range(5)]
+            for j, f in enumerate(fbs16):
+                f[0, 2, 2, 0] ^= np.uint8(j + 1)
+            warm16 = np.roll(fb16, 9, axis=0).copy()
+            warm16[0, 4, 4, 0] ^= 1
+            pipe.recognize_frames(warm16).embeddings.block_until_ready()
+            dev16 = device_time_per_call(
+                lambda j: pipe.recognize_frames(fbs16[j]).embeddings, 5)
+            if dev16:
+                extra["batch16_device_ms"] = dev16 * 1e3
+                extra["batch16_device_slots_per_sec"] = (
+                    cfg.det_maxFacesPerScene * 16 / dev16)
+        except Exception as e:  # pragma: no cover - bench resilience
+            _log(f"batch-16 section skipped: {e}")
 
         # opt-in int8-embedder serving point (rec_quantize; ~1.6e-3 cosine
         # drift, docs/PARITY.md) — the headline stays the default bf16 path
@@ -249,34 +255,38 @@ def main():
         pipe_q.align = True
         # warm on an input NOT in the profiled set — the tunnel serves
         # identical executions from cache, which would deflate the profile
-        warm = np.roll(fb, 11, axis=0).copy()
-        warm[0, 3, 3, 0] ^= 1
-        pipe_q.recognize_frames(warm).embeddings.block_until_ready()
-        dev_q = device_time_per_call(
-            lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
-        if dev_q:
-            extra["batch8_int8_embedder_device_ms"] = dev_q * 1e3
-            extra["int8_embedder_slots_per_sec"] = (
-                cfg.det_maxFacesPerScene * len(frames) / dev_q)
-        # calibrated int8: static activation scales (no per-conv amax
-        # reduction pass) — facekit's fastest embedder point. Calibrating
-        # mutates pipe_q's params, so this section runs LAST of the int8
-        # pipeline profiles.
-        _log("profiling batch-8 calibrated-int8 device time...")
-        calib = [np.clip(base.astype(np.int16)
-                         + rng_np.integers(-16, 17, base.shape), 0, 255
-                         ).astype(np.uint8)[:112, :112][None].repeat(16, 0)
-                 for _ in range(2)]
-        pipe_q.calibrate_embedder(calib, headroom=1.25)
-        warm_c = np.roll(fb, 12, axis=0).copy()
-        warm_c[0, 7, 7, 0] ^= 1
-        pipe_q.recognize_frames(warm_c).embeddings.block_until_ready()
-        dev_c = device_time_per_call(
-            lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
-        if dev_c:
-            extra["batch8_int8_calibrated_device_ms"] = dev_c * 1e3
-            extra["int8_calibrated_slots_per_sec"] = (
-                cfg.det_maxFacesPerScene * len(frames) / dev_c)
+        try:
+            warm = np.roll(fb, 11, axis=0).copy()
+            warm[0, 3, 3, 0] ^= 1
+            pipe_q.recognize_frames(warm).embeddings.block_until_ready()
+            dev_q = device_time_per_call(
+                lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
+            if dev_q:
+                extra["batch8_int8_embedder_device_ms"] = dev_q * 1e3
+                extra["int8_embedder_slots_per_sec"] = (
+                    cfg.det_maxFacesPerScene * len(frames) / dev_q)
+            # calibrated int8: static activation scales (no per-conv amax
+            # reduction pass) — facekit's fastest embedder point.
+            # Calibrating mutates pipe_q's params, so this runs LAST of
+            # the int8 pipeline profiles (headroom matches the server's
+            # rec_calibrationHeadroom default).
+            _log("profiling batch-8 calibrated-int8 device time...")
+            calib = [np.clip(base.astype(np.int16)
+                             + rng_np.integers(-16, 17, base.shape), 0, 255
+                             ).astype(np.uint8)[:112, :112][None]
+                     .repeat(16, 0) for _ in range(2)]
+            pipe_q.calibrate_embedder(calib, headroom=1.25)
+            warm_c = np.roll(fb, 12, axis=0).copy()
+            warm_c[0, 7, 7, 0] ^= 1
+            pipe_q.recognize_frames(warm_c).embeddings.block_until_ready()
+            dev_c = device_time_per_call(
+                lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
+            if dev_c:
+                extra["batch8_int8_calibrated_device_ms"] = dev_c * 1e3
+                extra["int8_calibrated_slots_per_sec"] = (
+                    cfg.det_maxFacesPerScene * len(frames) / dev_c)
+        except Exception as e:  # pragma: no cover - bench resilience
+            _log(f"int8 embedder sections skipped: {e}")
 
         # throughput-optimal batch (server_batchSize=64): MXU utilization
         # of the C=64 ArcFace stages keeps rising with batch (measured
@@ -314,43 +324,49 @@ def main():
         # src/app.cpp:293-352 + matmul + argmax)
         _log("profiling batch-8 identify vs 1M gallery...")
         import jax.numpy as jnp
-        gal = jax.random.normal(jax.random.PRNGKey(7), (1 << 20, 512),
-                                jnp.bfloat16)
-        gal = gal / jnp.linalg.norm(gal.astype(jnp.float32), axis=1,
-                                    keepdims=True).astype(jnp.bfloat16)
         warm2 = np.roll(fb, 13, axis=0).copy()
         warm2[0, 5, 5, 0] ^= 1
-        pipe.recognize_and_match(warm2, gal, 1 << 20,
-                                 use_pallas=True)[1].block_until_ready()
-        dev_i = device_time_per_call(
-            lambda j: pipe.recognize_and_match(fbs[j], gal, 1 << 20,
-                                               use_pallas=True)[1], 5)
-        if dev_i:
-            extra["batch8_identify_1M_device_ms"] = dev_i * 1e3
-            extra["identify_1M_slots_per_sec"] = (
-                cfg.det_maxFacesPerScene * len(frames) / dev_i)
-        del gal
+        try:
+            gal = jax.random.normal(jax.random.PRNGKey(7), (1 << 20, 512),
+                                    jnp.bfloat16)
+            gal = gal / jnp.linalg.norm(gal.astype(jnp.float32), axis=1,
+                                        keepdims=True).astype(jnp.bfloat16)
+            pipe.recognize_and_match(warm2, gal, 1 << 20,
+                                     use_pallas=True)[1].block_until_ready()
+            dev_i = device_time_per_call(
+                lambda j: pipe.recognize_and_match(fbs[j], gal, 1 << 20,
+                                                   use_pallas=True)[1], 5)
+            if dev_i:
+                extra["batch8_identify_1M_device_ms"] = dev_i * 1e3
+                extra["identify_1M_slots_per_sec"] = (
+                    cfg.det_maxFacesPerScene * len(frames) / dev_i)
+            del gal
+        except Exception as e:  # pragma: no cover - bench resilience
+            _log(f"identify section skipped: {e}")
 
         # the full int8 point: CALIBRATED rec_quantize embedder (pipe_q was
         # calibrated above) + int8 gallery with per-row scales, still one
         # fused device program
         _log("profiling batch-8 int8 identify vs 1M int8 gallery...")
-        from facekit.ops.similarity import quantize_rows_int8
-        gq, gsc2 = quantize_rows_int8(
-            jax.random.normal(jax.random.PRNGKey(8), (1 << 20, 512),
-                              jnp.float32))
-        pipe_q.recognize_and_match(
-            warm2, gq, 1 << 20, use_pallas=True,
-            gallery_scale=gsc2)[1].block_until_ready()
-        dev_qi = device_time_per_call(
-            lambda j: pipe_q.recognize_and_match(
-                fbs[j], gq, 1 << 20, use_pallas=True,
-                gallery_scale=gsc2)[1], 5)
-        if dev_qi:
-            extra["batch8_identify_1M_int8_device_ms"] = dev_qi * 1e3
-            extra["identify_1M_int8_slots_per_sec"] = (
-                cfg.det_maxFacesPerScene * len(frames) / dev_qi)
-        del gq, gsc2
+        try:
+            from facekit.ops.similarity import quantize_rows_int8
+            gq, gsc2 = quantize_rows_int8(
+                jax.random.normal(jax.random.PRNGKey(8), (1 << 20, 512),
+                                  jnp.float32))
+            pipe_q.recognize_and_match(
+                warm2, gq, 1 << 20, use_pallas=True,
+                gallery_scale=gsc2)[1].block_until_ready()
+            dev_qi = device_time_per_call(
+                lambda j: pipe_q.recognize_and_match(
+                    fbs[j], gq, 1 << 20, use_pallas=True,
+                    gallery_scale=gsc2)[1], 5)
+            if dev_qi:
+                extra["batch8_identify_1M_int8_device_ms"] = dev_qi * 1e3
+                extra["identify_1M_int8_slots_per_sec"] = (
+                    cfg.det_maxFacesPerScene * len(frames) / dev_qi)
+            del gq, gsc2
+        except Exception as e:  # pragma: no cover - bench resilience
+            _log(f"int8 identify section skipped: {e}")
 
     if on_tpu:
         # 2^20 rows: tile-aligned like the production bucket ladder, so the

@@ -169,6 +169,10 @@ def main(argv=None) -> None:
     cfg = load_config(args.config) if args.config else load_config({})
     det, rec = init_model_params(cfg)
     pipe = FacePipeline(cfg, det, rec)
+    # same int8 calibration the server applies for this config — an
+    # exported engine must embed with the scales the server serves with
+    from facekit.server.app import calibrate_from_config
+    calibrate_from_config(pipe, cfg)
     plats = (None if args.platforms == "native"
              else args.platforms.split(","))
 

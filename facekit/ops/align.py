@@ -138,9 +138,11 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
 
     ``dtype`` is the precision of the two pass matmuls only (positions and
     weights are still built in f32, accumulation is f32 via
-    preferred_element_type). bf16 halves the HBM traffic of the banded
-    weight matrices — the dominant cost of the warp — at <=1 uint8 LSB of
-    crop error; the serving pipeline passes its compute dtype.
+    preferred_element_type). Crop error vs f32 is <=2 uint8 LSBs worst
+    case (one bf16 rounding per pass), <0.25 LSB mean; the serving
+    pipeline passes its compute dtype. Measured perf-neutral at 112x112
+    (XLA keeps the banded matrices fused, docs/ROADMAP.md) — the bf16
+    option matters at larger output resolutions where they materialize.
     """
     oh, ow = out_hw
     if window is None:

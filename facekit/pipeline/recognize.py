@@ -288,9 +288,13 @@ class FacePipeline:
                  rec_params: Dict[str, Any]):
         self.config = config
         self.det_params = det_params
-        self._rec_params_float = rec_params
+        self._rec_params_float = None
         if getattr(config, "rec_quantize", False):
             from facekit.models.arcface import quantize_arcface_params
+            # host-side copy for later calibrate_embedder: keeping the
+            # float backbone as device arrays would pin hundreds of MB of
+            # HBM next to the int8 copy for the process lifetime
+            self._rec_params_float = jax.tree.map(np.asarray, rec_params)
             rec_params = quantize_arcface_params(rec_params)
         self.rec_params = rec_params
         self.det_network = config.det_network

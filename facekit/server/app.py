@@ -68,6 +68,30 @@ def _load_calibration_crops(folder: str, rec_hw, batch: int = 16,
         raise ValueError(f"no readable calibration images in {folder}")
 
 
+def calibrate_from_config(pipeline, config) -> bool:
+    """Apply the config's int8 calibration (extras.rec_calibrationDir +
+    rec_calibrationHeadroom, default 1.25) to ``pipeline``. Shared by the
+    server AND the engine export CLI so the exported artifact runs the
+    same scales the server serves with. Returns True if calibrated; a
+    missing/empty folder degrades to dynamic scales with a warning rather
+    than refusing to start."""
+    calib_dir = config.extras.get("rec_calibrationDir")
+    if not (calib_dir and getattr(config, "rec_quantize", False)):
+        return False
+    headroom = float(config.extras.get("rec_calibrationHeadroom", 1.25))
+    try:
+        pipeline.calibrate_embedder(
+            _load_calibration_crops(calib_dir, config.rec_hw),
+            headroom=headroom)
+        log.info("int8 embedder calibrated from %s (headroom %.2f)",
+                 calib_dir, headroom)
+        return True
+    except (OSError, ValueError) as e:
+        log.warning("int8 calibration skipped (%s); "
+                    "using dynamic activation scales", e)
+        return False
+
+
 class FaceServer:
     """Wires config -> models -> pipeline -> gallery -> db (src/app.cpp:12-106)."""
 
@@ -101,17 +125,7 @@ class FaceServer:
         # optional int8 calibration (extras.rec_calibrationDir): a folder
         # of face crops sampled offline; static activation scales replace
         # the per-conv dynamic amax pass (see FacePipeline.calibrate_embedder)
-        calib_dir = config.extras.get("rec_calibrationDir")
-        if calib_dir and getattr(config, "rec_quantize", False):
-            try:
-                self.pipeline.calibrate_embedder(
-                    _load_calibration_crops(calib_dir, config.rec_hw))
-                log.info("int8 embedder calibrated from %s", calib_dir)
-            except (OSError, ValueError) as e:
-                # missing/empty folder: serve with dynamic per-sample
-                # scales rather than refusing to start
-                log.warning("int8 calibration skipped (%s); "
-                            "using dynamic activation scales", e)
+        calibrate_from_config(self.pipeline, config)
         self.db = Database(config.database_path, config.rec_outputDim)
         mesh = None
         if config.mesh_shape:
@@ -254,25 +268,6 @@ class FaceServer:
                 self.db.insert_face(class_name, path, np.asarray(embs[j]))
                 count += 1
         return count
-
-    def _embed_enrollment_image(self, img_bgr, is_cropped: bool
-                                ) -> Optional[np.ndarray]:
-        cv2 = _require_cv2()
-        cfg = self.config
-        if is_cropped:
-            rh, rw = cfg.rec_hw
-            if img_bgr.shape[:2] != (rh, rw):
-                # fixed-shape program: host-resize, don't recompile per size
-                img_bgr = cv2.resize(img_bgr, (rw, rh))
-            return self.pipeline.embed_cropped(img_bgr)
-        frame = cv2.resize(img_bgr, (cfg.input_frameWidth,
-                                     cfg.input_frameHeight))
-        res = self.pipeline.recognize_frame(frame)
-        valid = np.asarray(res.valid)
-        if valid.sum() != 1:
-            return None
-        return np.asarray(res.embeddings)[0]
-
 
 def make_app(server: FaceServer):
     from aiohttp import web, WSMsgType
