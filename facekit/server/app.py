@@ -154,12 +154,23 @@ class FaceServer:
             max_workers=int(config.extras.get("server_decodeThreads", 4)))
         from facekit.utils import LatencyTracker
         self.metrics = LatencyTracker()
-        # micro-batching knobs (facekit extension; see server/batcher.py)
+        # micro-batching knobs (facekit extension; see server/batcher.py).
+        # server_batchBuckets (e.g. [8, 64]) compiles a LADDER of padded
+        # batch shapes: each dispatch pads to the smallest bucket that
+        # fits the queue, so a lone request pays the small program's
+        # latency (~4.6 ms at 8) while bursts get the big program's
+        # throughput (batch-64 knee, docs/ROADMAP.md). Default: the single
+        # server_batchSize bucket (one compile, the r1 behavior).
         self.batch_size = int(config.extras.get("server_batchSize", 8))
+        raw_buckets = config.extras.get("server_batchBuckets")
+        buckets = ([int(b) for b in raw_buckets] if raw_buckets
+                   else [self.batch_size])
         if mesh is not None and "data" in mesh.shape:
-            # the padded batch shards over the data axis — keep it divisible
+            # padded batches shard over the data axis — keep divisible
             d = mesh.shape["data"]
-            self.batch_size = ((self.batch_size + d - 1) // d) * d
+            buckets = [((b + d - 1) // d) * d for b in buckets]
+        self.batch_buckets = sorted(set(buckets))
+        self.batch_size = self.batch_buckets[-1]
         self.batch_wait_ms = float(config.extras.get("server_batchWaitMs", 3.0))
         # live-profiling hook (facekit extension; the reference has no
         # tracing at all, SURVEY.md §5.1): with "profiler_port" set, a
@@ -180,16 +191,17 @@ class FaceServer:
             snap = self.gallery.snapshot()
             fh, fw = config.frame_hw
             rh, rw = config.rec_hw
-            self.pipeline.recognize_and_match(
-                np.zeros((self.batch_size, fh, fw, 3), np.uint8),
-                snap.arr, max(snap.count, 1),
-                use_pallas=self.gallery.use_pallas, return_crops=True,
-                gallery_scale=snap.scales, mesh=mesh)
-            self.pipeline.embed_and_match(
-                np.zeros((self.batch_size, rh, rw, 3), np.uint8),
-                snap.arr, max(snap.count, 1),
-                use_pallas=self.gallery.use_pallas,
-                gallery_scale=snap.scales, mesh=mesh)
+            for b in self.batch_buckets:   # one compile per ladder bucket
+                self.pipeline.recognize_and_match(
+                    np.zeros((b, fh, fw, 3), np.uint8),
+                    snap.arr, max(snap.count, 1),
+                    use_pallas=self.gallery.use_pallas, return_crops=True,
+                    gallery_scale=snap.scales, mesh=mesh)
+                self.pipeline.embed_and_match(
+                    np.zeros((b, rh, rw, 3), np.uint8),
+                    snap.arr, max(snap.count, 1),
+                    use_pallas=self.gallery.use_pallas,
+                    gallery_scale=snap.scales, mesh=mesh)
             # /insert/face paths: cropped -> embed_cropped; uncropped ->
             # the single-frame detect pipeline
             self.pipeline.embed_cropped(np.zeros((rh, rw, 3), np.uint8))
@@ -390,10 +402,15 @@ def make_app(server: FaceServer):
     from facekit.server.batcher import MicroBatcher
 
     bsz = server.batch_size
+    buckets = server.batch_buckets
 
     def _pad_stack(items, template=None):
+        """Pad to the smallest compiled batch bucket that fits: a lone
+        request rides the small program, a burst the big one (each bucket
+        is one static shape = one compile, warmed at startup)."""
         base = items[0] if template is None else template
-        pad = [np.zeros_like(base)] * (bsz - len(items))
+        target = next(b for b in buckets if b >= len(items))
+        pad = [np.zeros_like(base)] * (target - len(items))
         return np.stack(list(items) + pad)
 
     def _recognize_batch(crops):

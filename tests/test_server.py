@@ -520,6 +520,48 @@ async def test_server_missing_calibration_dir_degrades(tmp_path_factory,
         assert json.loads(await r.text())["userId"] == "nc"
 
 
+async def test_batch_bucket_ladder(tmp_path_factory, rng):
+    """server_batchBuckets: a lone request pads to the SMALL bucket's
+    program (low latency); bursts pad to a larger bucket; every dispatch
+    shape is a configured bucket."""
+    from facekit.models.lightdet import lightdet_init
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("bkt") / "b.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        use_pallas_search=False,
+        extras={"server_batchSize": 4, "server_batchBuckets": [2, 4]})
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    assert srv.batch_buckets == [2, 4] and srv.batch_size == 4
+    emb = rng.normal(0, 1, size=(2, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    srv.gallery.load(["a", "b"], emb)
+
+    dispatched = []
+    orig = srv.pipeline.embed_and_match
+
+    def spy(crops, *a, **k):
+        dispatched.append(crops.shape[0])
+        return orig(crops, *a, **k)
+
+    srv.pipeline.embed_and_match = spy
+    data, _ = _jpg(rng, hw=(112, 112))
+    async with make_client(srv) as client:
+        r = await client.post("/recognize", data=data)
+        assert json.loads(await r.text())["userId"] in ("a", "b")
+        assert dispatched[-1] == 2            # lone request -> small bucket
+        import asyncio
+        rs = await asyncio.gather(*[client.post("/recognize", data=data)
+                                    for _ in range(4)])
+        for r in rs:
+            json.loads(await r.text())
+    assert set(dispatched) <= {2, 4}, dispatched
+    assert sum(dispatched) >= 5               # 1 + the burst
+
+
 def test_throughput_config_profile_loads():
     """configs/throughput.json parses: typed fields land, serving knobs
     land in extras, and it selects the measured throughput configuration
