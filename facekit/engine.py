@@ -10,14 +10,20 @@ code. Unlike TRT engines the weights stay external (the msgpack pytree
 from facekit.weights) and the artifact is portable across JAX versions and
 platforms per jax.export's compatibility guarantees.
 
-Two programs are exportable, matching the two engines the reference loads:
+Three programs are exportable (the first two match the two engines the
+reference loads):
 
   * ``recognize``: (det_params, rec_params, frames (B, H, W, 3) u8)
       -> (boxes, scores, valid, embeddings)  — the WS /inference hot path;
   * ``embed``: (rec_params, crops (B, rec_h, rec_w, 3) u8) -> (B, 512)
-      — the POST /recognize hot path.
+      — the POST /recognize hot path;
+  * ``identify``: the complete fused transaction incl. the gallery match,
+      optionally SHARDED over a TPU topology mesh (frames over "data",
+      gallery rows over "gallery") — a deployable multi-chip artifact the
+      reference has no analog for.
 
 CLI:  python -m facekit.engine export -c config.json -o engines/ [-b 8]
+        [--identify-mesh data=2,gallery=4 --topology v5e:2x4]
 """
 
 from __future__ import annotations
@@ -117,6 +123,105 @@ def export_embed_engine(pipeline, batch_size: int,
     return exp.serialize(), meta
 
 
+def topology_mesh(mesh_shape: Dict[str, int], topology: str = "v5e:2x4"):
+    """A jax Mesh over a REAL TPU topology description (no devices
+    attached): compile/export targets the actual hardware toolchain
+    (GSPMD + Mosaic). mesh_shape values must multiply to the topology's
+    device count (v5e:2x4 = 8)."""
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+    topo = topologies.get_topology_desc(topology)
+    names = tuple(mesh_shape)
+    shape = tuple(mesh_shape[n] for n in names)
+    n = int(np.prod(shape))
+    if n != len(topo.devices):
+        raise ValueError(f"mesh {mesh_shape} needs {n} devices; topology "
+                         f"{topology} has {len(topo.devices)}")
+    return Mesh(np.array(topo.devices).reshape(shape), names)
+
+
+def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
+                           mesh=None):
+    """Export the COMPLETE identification transaction — detect -> align ->
+    embed -> gallery match, one program — optionally sharded over a
+    multi-chip mesh (frames over "data", gallery rows over "gallery";
+    the v5e-8 serving layout). With a topology mesh the artifact embeds
+    the sharding annotations and deploys on a real slice of that shape —
+    facekit's answer to shipping per-target TensorRT engines.
+    """
+    from jax.sharding import PartitionSpec as P
+    from facekit.pipeline import recognize as R
+
+    cfg = pipeline.config
+    fh, fw = cfg.frame_hw
+    int8_gallery = getattr(cfg, "gallery_dtype", "") == "int8"
+    gal_dtype = jnp.int8 if int8_gallery \
+        else (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+              else jnp.float32)
+
+    def _sh(spec):
+        from jax.sharding import NamedSharding
+        return ({"sharding": NamedSharding(mesh, spec)}
+                if mesh is not None else {})
+
+    frames = jax.ShapeDtypeStruct((batch_size, fh, fw, 3), jnp.uint8,
+                                  **_sh(P("data", None, None, None)))
+    gal = jax.ShapeDtypeStruct((gallery_rows, 512), gal_dtype,
+                               **_sh(P("gallery", None)))
+    scale = (jax.ShapeDtypeStruct((gallery_rows,), jnp.float32,
+                                  **_sh(P("gallery")))
+             if int8_gallery else None)
+    count = jax.ShapeDtypeStruct((), jnp.int32)
+
+    def fn(det_p, rec_p, gallery, count, frames, *rest):
+        res, sims, idx = R._recognize_and_match(
+            det_p, rec_p, gallery, count, frames,
+            frame_hw=cfg.frame_hw, det_hw=cfg.det_hw, rec_hw=cfg.rec_hw,
+            max_faces=cfg.det_maxFacesPerScene,
+            score_thr=cfg.det_threshold_bbox,
+            iou_thr=cfg.det_threshold_nms,
+            use_landmarks=pipeline.use_landmarks, align=pipeline.align,
+            rec_network=cfg.rec_network, dtype=pipeline.dtype,
+            return_crops=False, k=cfg.gallery_topk,
+            use_pallas=(mesh is not None or _tpu_default()),
+            det_network=pipeline.det_network,
+            gallery_scale=rest[0] if rest else None,
+            mesh=mesh, gallery_axis="gallery", data_axis="data",
+            nms_top_k=cfg.det_nmsTopK, nms_exact=cfg.det_nmsExact)
+        return res.boxes, res.scores, res.valid, res.embeddings, sims, idx
+
+    args = (_sds_tree(pipeline.det_params), _sds_tree(pipeline.rec_params),
+            gal, count, frames) + ((scale,) if scale is not None else ())
+    # the fused Pallas search only lowers for TPU; the artifact is a TPU
+    # deployment artifact by construction
+    exp = jax_export.export(jax.jit(fn), platforms=["tpu"])(*args)
+    meta = {
+        "magic": _MAGIC,
+        "program": "identify",
+        "batch_size": batch_size,
+        "gallery_rows": gallery_rows,
+        "gallery_dtype": str(np.dtype(gal_dtype)),
+        "frame_hw": list(cfg.frame_hw),
+        "max_faces": cfg.det_maxFacesPerScene,
+        "det_network": pipeline.det_network,
+        "rec_network": cfg.rec_network,
+        "compute_dtype": cfg.compute_dtype,
+        "nr_devices": exp.nr_devices,
+        "mesh_shape": (dict(zip(mesh.axis_names, mesh.devices.shape))
+                       if mesh is not None else None),
+        "platforms": list(exp.platforms),
+    }
+    return exp.serialize(), meta
+
+
+def _tpu_default() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def save_engine(path: str, blob: bytes, meta: Dict[str, Any]) -> None:
     with open(path, "wb") as f:
         f.write(blob)
@@ -164,6 +269,15 @@ def main(argv=None) -> None:
                     help="comma list (default tpu,cpu: one artifact "
                          "deploys on either; 'native' = current platform "
                          "only)")
+    ex.add_argument("--identify-mesh", default=None,
+                    help="also export identify.fke — the complete fused "
+                         "detect+align+embed+match program — sharded over "
+                         "a TPU topology mesh, e.g. 'data=2,gallery=4' "
+                         "(the v5e-8 serving layout)")
+    ex.add_argument("--topology", default="v5e:2x4",
+                    help="TPU topology for --identify-mesh")
+    ex.add_argument("--gallery-rows", type=int, default=1 << 20,
+                    help="gallery capacity frozen into identify.fke")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else load_config({})
@@ -183,6 +297,14 @@ def main(argv=None) -> None:
     blob, meta = export_embed_engine(pipe, args.batch_size, plats)
     save_engine(os.path.join(args.out_dir, "embed.fke"), blob, meta)
     print(f"embed.fke: {len(blob)} bytes {meta}")
+    if args.identify_mesh:
+        shape = {k: int(v) for k, v in
+                 (kv.split("=") for kv in args.identify_mesh.split(","))}
+        mesh = topology_mesh(shape, args.topology)
+        blob, meta = export_identify_engine(pipe, args.batch_size,
+                                            args.gallery_rows, mesh=mesh)
+        save_engine(os.path.join(args.out_dir, "identify.fke"), blob, meta)
+        print(f"identify.fke: {len(blob)} bytes {meta}")
 
 
 if __name__ == "__main__":

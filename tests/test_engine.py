@@ -85,3 +85,33 @@ def test_engine_cli_with_slim_detector(tmp_path):
     engine.main(["export", "-c", str(cfg_path), "-o", str(out), "-b", "2"])
     call, meta = load_engine(str(out / "recognize.fke"))
     assert meta["det_network"] == "slim"
+
+
+def test_identify_mesh_engine_export(tmp_path):
+    """--identify-mesh exports the complete fused identify program
+    sharded over a REAL v5e:2x4 topology: 8-device TPU artifact with
+    sharding annotations, loadable without the hardware (execution needs
+    a real slice; compile/serialize is the deployable contract)."""
+    try:
+        from jax.experimental import topologies
+        topologies.get_topology_desc("v5e:2x4")
+    except Exception as e:
+        pytest.skip(f"v5e topology unavailable: {e}")
+    from facekit import engine
+    from facekit.engine import load_engine
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "det_network": "slim", "rec_network": "ir_tiny",
+        "det_inputShape": [3, 64, 64],
+        "input_frameWidth": 160, "input_frameHeight": 120,
+        "compute_dtype": "bfloat16"}))
+    out = tmp_path / "engines"
+    engine.main(["export", "-c", str(cfg_path), "-o", str(out), "-b", "8",
+                 "--identify-mesh", "data=2,gallery=4",
+                 "--gallery-rows", "8192"])
+    call, meta = load_engine(str(out / "identify.fke"))
+    assert meta["program"] == "identify"
+    assert meta["nr_devices"] == 8
+    assert meta["mesh_shape"] == {"data": 2, "gallery": 4}
+    assert meta["gallery_rows"] == 8192
+    assert callable(call)
