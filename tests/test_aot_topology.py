@@ -78,3 +78,59 @@ def test_sharded_serving_program_compiles_for_v5e_8():
     total = (mem.argument_size_in_bytes + mem.output_size_in_bytes
              + mem.temp_size_in_bytes)
     assert total < 16 * 2**30, f"per-device bytes {total}"
+
+
+def test_int8_sharded_search_compiles_for_v5e_8():
+    """The fused int8 Pallas search kernel (integer MXU matmul + running
+    top-k), row-sharded, compiles for the real v5e-8 target — Mosaic int8
+    tiling + GSPMD partitioning for actual hardware."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from facekit.parallel.sharded_search import sharded_cosine_topk
+
+    mesh = _topology_mesh()
+    n = 1 << 17
+    gal = jax.ShapeDtypeStruct((n, 512), jnp.int8,
+                               sharding=NamedSharding(mesh, P("gallery", None)))
+    scales = jax.ShapeDtypeStruct((n,), jnp.float32,
+                                  sharding=NamedSharding(mesh, P("gallery")))
+    q = jax.ShapeDtypeStruct((16, 512), jnp.float32,
+                             sharding=NamedSharding(mesh, P("data", None)))
+    count = jax.ShapeDtypeStruct((), jnp.int32)
+
+    def fn(gallery, scales, queries, count):
+        return sharded_cosine_topk(gallery, queries, count, k=4, mesh=mesh,
+                                   axis="gallery", scales=scales,
+                                   use_pallas=True)
+
+    compiled = jax.jit(fn).lower(gal, scales, q, count).compile()
+    assert compiled.memory_analysis() is not None
+
+
+def test_train_step_compiles_for_v5e_8():
+    """The dp x tp ArcFace training step (batch over data, class centers
+    over model) compiles for the real v5e-8 target."""
+    from jax.sharding import Mesh
+    from facekit.train import (make_train_step, train_shardings,
+                               train_state_init)
+
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc("v5e:2x4")
+    except Exception as e:
+        pytest.skip(f"v5e topology unavailable: {e}")
+    mesh = Mesh(np.array(topo.devices).reshape(4, 2), ("data", "model"))
+
+    state = train_state_init(jax.random.PRNGKey(0), num_classes=64,
+                             network="ir_tiny", lr=0.05)
+    state_sh, (img_sh, lbl_sh) = train_shardings(state, mesh)
+    sds_st = jax.tree.map(
+        lambda a, s: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype,
+                                          sharding=s),
+        state, state_sh)
+    images = jax.ShapeDtypeStruct((16, 112, 112, 3), jnp.float32,
+                                  sharding=img_sh)
+    labels = jax.ShapeDtypeStruct((16,), jnp.int32, sharding=lbl_sh)
+    step = make_train_step(network="ir_tiny", lr=0.05,
+                           margins=(1.0, 0.3, 0.1))
+    compiled = step.lower(sds_st, images, labels).compile()
+    assert compiled.memory_analysis() is not None
