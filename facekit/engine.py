@@ -132,6 +132,13 @@ def topology_mesh(mesh_shape: Dict[str, int], topology: str = "v5e:2x4"):
     from jax.experimental import topologies
     from jax.sharding import Mesh
     topo = topologies.get_topology_desc(topology)
+    # like the server (app.py), a missing serving axis means size 1 —
+    # 'data=8' (pure dp) and 'gallery=8' (pure row-sharding) are both
+    # valid; custom axis sets (e.g. training's data x model) pass through
+    mesh_shape = dict(mesh_shape)
+    if set(mesh_shape) <= {"data", "gallery"}:
+        mesh_shape.setdefault("data", 1)
+        mesh_shape.setdefault("gallery", 1)
     names = tuple(mesh_shape)
     shape = tuple(mesh_shape[n] for n in names)
     n = int(np.prod(shape))
@@ -155,10 +162,21 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
 
     cfg = pipeline.config
     fh, fw = cfg.frame_hw
+    dim = cfg.rec_outputDim
     int8_gallery = getattr(cfg, "gallery_dtype", "") == "int8"
     gal_dtype = jnp.int8 if int8_gallery \
         else (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
               else jnp.float32)
+
+    if mesh is not None:
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        d, g = axes.get("data", 1), axes.get("gallery", 1)
+        if batch_size % d:
+            raise ValueError(f"batch_size {batch_size} must divide over "
+                             f"the data axis ({d})")
+        if gallery_rows % g:
+            raise ValueError(f"gallery_rows {gallery_rows} must divide "
+                             f"over the gallery axis ({g})")
 
     def _sh(spec):
         from jax.sharding import NamedSharding
@@ -167,7 +185,7 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
 
     frames = jax.ShapeDtypeStruct((batch_size, fh, fw, 3), jnp.uint8,
                                   **_sh(P("data", None, None, None)))
-    gal = jax.ShapeDtypeStruct((gallery_rows, 512), gal_dtype,
+    gal = jax.ShapeDtypeStruct((gallery_rows, dim), gal_dtype,
                                **_sh(P("gallery", None)))
     scale = (jax.ShapeDtypeStruct((gallery_rows,), jnp.float32,
                                   **_sh(P("gallery")))
@@ -201,6 +219,7 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
         "program": "identify",
         "batch_size": batch_size,
         "gallery_rows": gallery_rows,
+        "embed_dim": dim,
         "gallery_dtype": str(np.dtype(gal_dtype)),
         "frame_hw": list(cfg.frame_hw),
         "max_faces": cfg.det_maxFacesPerScene,

@@ -22,15 +22,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _topology_mesh():
+def _topology_mesh(shape=None):
+    """The SAME mesh construction the export CLI ships
+    (facekit.engine.topology_mesh), wrapped in a skip for environments
+    whose TPU plugin can't provide topology descriptions."""
+    from facekit.engine import topology_mesh
     try:
-        from jax.experimental import topologies
-        topo = topologies.get_topology_desc("v5e:2x4")
+        return topology_mesh(shape or {"data": 2, "gallery": 4})
     except Exception as e:  # no TPU plugin / unsupported
         pytest.skip(f"v5e topology unavailable: {e}")
-    from jax.sharding import Mesh
-    devs = np.array(topo.devices).reshape(2, 4)
-    return Mesh(devs, ("data", "gallery"))
 
 
 def test_sharded_serving_program_compiles_for_v5e_8():
@@ -68,8 +68,7 @@ def test_sharded_serving_program_compiles_for_v5e_8():
             det_network="slim", mesh=mesh, gallery_axis="gallery",
             data_axis="data")
 
-    sds = lambda t: jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype), t)
+    from facekit.engine import _sds_tree as sds
     compiled = jax.jit(fn).lower(sds(det), sds(rec), gal, count,
                                  frames).compile()
     mem = compiled.memory_analysis()
@@ -109,16 +108,10 @@ def test_int8_sharded_search_compiles_for_v5e_8():
 def test_train_step_compiles_for_v5e_8():
     """The dp x tp ArcFace training step (batch over data, class centers
     over model) compiles for the real v5e-8 target."""
-    from jax.sharding import Mesh
     from facekit.train import (make_train_step, train_shardings,
                                train_state_init)
 
-    try:
-        from jax.experimental import topologies
-        topo = topologies.get_topology_desc("v5e:2x4")
-    except Exception as e:
-        pytest.skip(f"v5e topology unavailable: {e}")
-    mesh = Mesh(np.array(topo.devices).reshape(4, 2), ("data", "model"))
+    mesh = _topology_mesh({"data": 4, "model": 2})
 
     state = train_state_init(jax.random.PRNGKey(0), num_classes=64,
                              network="ir_tiny", lr=0.05)
