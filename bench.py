@@ -318,6 +318,37 @@ def main():
         except Exception as e:  # pragma: no cover - bench resilience
             _log(f"batch-64 section skipped: {e}")
 
+        # detection-only at 640x640 (BASELINE.json config #2: RetinaFace
+        # anchor decode + landmarks + NMS at the square high-res input)
+        try:
+            _log("profiling detector-only 640x640...")
+            from dataclasses import replace as _cr
+            # nms_exact off: at 640x640 the full-candidate fallback branch
+            # is a 16,800^2 IoU matrix (~1.1 GB) that the compiler rejects;
+            # the top-256 path is the sane config at this geometry
+            cfg640 = _cr(cfg, det_inputShape=(3, 640, 640),
+                         det_nmsTopK=256, det_nmsExact=False)
+            pipe640 = FacePipeline(cfg640, det, rec)
+            iy = np.arange(640) * base.shape[0] // 640
+            ix = np.arange(640) * base.shape[1] // 640
+            sq_base = base[iy][:, ix].astype(np.int16)   # nearest 640x640
+            sq = np.stack([np.clip(
+                sq_base + rng_np.integers(-4, 5, sq_base.shape), 0, 255
+            ).astype(np.uint8) for _ in range(8)])
+            sqs = [np.roll(sq, j + 3, axis=0).copy() for j in range(5)]
+            for j, f in enumerate(sqs):
+                f[0, 2, 2, 0] ^= np.uint8(j + 1)
+            warm_d = np.roll(sq, 9, axis=0).copy()
+            warm_d[0, 4, 4, 0] ^= 1
+            jax.block_until_ready(pipe640.detect_frames(warm_d).boxes)
+            dev_d = device_time_per_call(
+                lambda j: pipe640.detect_frames(sqs[j]).boxes, 5)
+            if dev_d:
+                extra["det640_batch8_device_ms"] = dev_d * 1e3
+                extra["det640_frames_per_sec"] = len(frames) / dev_d
+        except Exception as e:  # pragma: no cover - bench resilience
+            _log(f"detector-640 section skipped: {e}")
+
         # the COMPLETE serving transaction: fused detect + align + embed +
         # 1M-row gallery match in one device program (what WS /inference
         # actually dispatches; the reference's whole hot path

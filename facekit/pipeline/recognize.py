@@ -145,6 +145,30 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
                        faces if return_crops else None)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_hw", "det_hw", "max_faces", "score_thr",
+                     "iou_thr", "use_landmarks", "dtype", "det_network",
+                     "nms_top_k", "nms_exact"))
+def _detect_frames(det_params, frames, *, frame_hw, det_hw, max_faces,
+                   score_thr, iou_thr, use_landmarks, dtype,
+                   det_network="mobilenet0.25", nms_top_k=128,
+                   nms_exact=True):
+    """Detection only: (N, H, W, 3) frames -> DetResult (boxes, scores,
+    valid, landmarks) in frame pixels. The standalone findFace analog
+    (src/retinaface.h:23) for callers that don't need embeddings."""
+    frames = frames.astype(jnp.float32)
+    x = det_normalize(letterbox(frames, det_hw))
+    loc, conf, ldm = _detector_forward(det_params, x, det_network, dtype)
+    if not use_landmarks:
+        ldm = None
+    anchors = _detector_anchors(det_hw, det_network)
+    return select_faces_batch(loc, conf, anchors, frame_hw, det_hw,
+                              max_faces=max_faces, score_threshold=score_thr,
+                              iou_threshold=iou_thr, nms_top_k=nms_top_k,
+                              nms_exact=nms_exact, ldm=ldm)
+
+
 def _match_queries(gallery, gallery_scale, flat, count, *, k, use_pallas,
                    mesh, gallery_axis, data_axis, interpret=False):
     """Route a (B, D) f32 query batch to the right search kernel.
@@ -357,6 +381,22 @@ class FacePipeline:
             rec_network=cfg.rec_network, dtype=self.dtype,
             return_crops=return_crops, det_network=self.det_network,
             nms_top_k=cfg.det_nmsTopK, nms_exact=cfg.det_nmsExact)
+
+    def detect_frames(self, frames_bgr: np.ndarray):
+        """Detection only: (N, H, W, 3) BGR frames -> (boxes, scores,
+        valid, landmarks) with max_faces slots per frame (findFace analog,
+        src/retinaface.h:23; the reference exposes no public
+        detection-only endpoint but the C++ API has this split)."""
+        cfg = self.config
+        return _detect_frames(
+            self.det_params, jnp.asarray(frames_bgr),
+            frame_hw=cfg.frame_hw, det_hw=cfg.det_hw,
+            max_faces=cfg.det_maxFacesPerScene,
+            score_thr=cfg.det_threshold_bbox,
+            iou_thr=cfg.det_threshold_nms,
+            use_landmarks=self.use_landmarks, dtype=self.dtype,
+            det_network=self.det_network, nms_top_k=cfg.det_nmsTopK,
+            nms_exact=cfg.det_nmsExact)
 
     def recognize_and_match(self, frames_bgr: np.ndarray, gallery_arr,
                             count: int, k: int = 1, use_pallas: bool = False,

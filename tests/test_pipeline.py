@@ -94,3 +94,20 @@ def test_slim_detector_pipeline(rng):
     assert res.landmarks.shape == (4, 5, 2)
     batched = pipe.recognize_frames(frame[None].repeat(2, 0))
     assert batched.embeddings.shape == (2, 4, 512)
+
+
+def test_detect_frames_matches_recognize_frames(pipeline, rng):
+    """The detection-only program returns the same detections the fused
+    recognize program computes internally (same ops, no embedder)."""
+    frames = rng.integers(0, 256, size=(2, 240, 320, 3), dtype=np.uint8)
+    det = pipeline.detect_frames(frames)
+    res = pipeline.recognize_frames(frames)
+    np.testing.assert_allclose(np.asarray(det.boxes),
+                               np.asarray(res.boxes), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(det.scores),
+                               np.asarray(res.scores), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(det.valid),
+                                  np.asarray(res.valid))
+    assert det.landmarks is not None
+    np.testing.assert_allclose(np.asarray(det.landmarks),
+                               np.asarray(res.landmarks), atol=1e-3)
