@@ -494,6 +494,44 @@ async def test_server_int8_calibration_dir(tmp_path_factory, tmp_path, rng):
         assert body["similarity"] > 0.9
 
 
+async def test_mesh_with_bucket_ladder(tmp_path_factory, rng):
+    """Mesh-sharded serving + the padded-batch bucket ladder: every
+    bucket is rounded to the data-axis multiple, lone requests dispatch
+    the small bucket's sharded program, and replies stay correct."""
+    from facekit.models.lightdet import lightdet_init
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("mbk") / "mb.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        use_pallas_search=False,
+        mesh_shape={"data": 2, "gallery": 4},
+        extras={"server_batchSize": 4,
+                "server_batchBuckets": [1, 3]})   # round -> [2, 4]
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    assert srv.batch_buckets == [2, 4] and srv.batch_size == 4
+
+    emb = rng.normal(0, 1, size=(2, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    srv.gallery.load(["ma", "mb"], emb)
+
+    dispatched = []
+    orig = srv.pipeline.embed_and_match
+
+    def spy(crops, *a, **k):
+        dispatched.append(crops.shape[0])
+        return orig(crops, *a, **k)
+
+    srv.pipeline.embed_and_match = spy
+    data, _ = _jpg(rng, hw=(112, 112))
+    async with make_client(srv) as client:
+        r = await client.post("/recognize", data=data)
+        assert json.loads(await r.text())["userId"] in ("ma", "mb")
+    assert dispatched[-1] == 2   # lone request -> small (rounded) bucket
+
+
 async def test_server_missing_calibration_dir_degrades(tmp_path_factory,
                                                        rng):
     """A configured-but-absent rec_calibrationDir must not refuse startup:
