@@ -112,18 +112,23 @@ def clip_boxes(boxes: jnp.ndarray, frame_hw: Tuple[int, int]) -> jnp.ndarray:
     return jnp.clip(boxes, 0.0, lim)
 
 
-def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise IoU with the reference's +1 area convention."""
-    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
-    xx1 = jnp.maximum(x1[:, None], x1[None, :])
-    yy1 = jnp.maximum(y1[:, None], y1[None, :])
-    xx2 = jnp.minimum(x2[:, None], x2[None, :])
-    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+def iou_pairs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(M, 4) x (N, 4) -> (M, N) IoU with the reference's +1 area convention."""
+    area_a = (a[:, 2] - a[:, 0] + 1.0) * (a[:, 3] - a[:, 1] + 1.0)
+    area_b = (b[:, 2] - b[:, 0] + 1.0) * (b[:, 3] - b[:, 1] + 1.0)
+    xx1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    yy1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    xx2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    yy2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
     w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
     h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
     inter = w * h
-    return inter / (area[:, None] + area[None, :] - inter)
+    return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+
+def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU with the reference's +1 area convention."""
+    return iou_pairs(boxes, boxes)
 
 
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
@@ -152,6 +157,81 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
 
     keep = jax.lax.fori_loop(0, k, body, valid)
     return top_boxes, top_scores, keep
+
+
+def nms_streaming(boxes: jnp.ndarray, scores: jnp.ndarray,
+                  iou_threshold: float, chunk: int = 256
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray]:
+    """Exact greedy NMS over ALL candidates without an O(A^2) IoU matrix.
+
+    Matches the reference's all-anchor erase loop
+    (``src/retinaface.cpp:248-271``) at ANY geometry: candidates are sorted
+    by descending score and processed in ``chunk``-sized blocks. Each block
+    first resolves its own greedy pass (a ``fori_loop``, already masked by
+    suppression from earlier blocks), then forward-suppresses every later
+    candidate block-by-block — so the working set is O(chunk^2) (two
+    (chunk, chunk) IoU tiles) instead of the A^2 matrix that made 640x640
+    (16,800 anchors ~= 1.1 GB f32) uncompilable. Only blocks holding
+    above-threshold candidates run: both loops bound their trip counts by
+    ``ceil(n_above / chunk)``, so the device cost scales with the crowd,
+    not the anchor count.
+
+    Returns ``(sorted_boxes, sorted_scores, keep, order)``, each padded to
+    a multiple of ``chunk`` and in descending score order; padding slots
+    have score ``-inf``, ``keep`` False, and ``order`` clamped into range.
+    """
+    a = scores.shape[0]
+    a_pad = -(-a // chunk) * chunk
+    scores = jnp.pad(scores, (0, a_pad - a), constant_values=-jnp.inf)
+    boxes = jnp.pad(boxes, ((0, a_pad - a), (0, 0)))
+    sorted_scores, order = jax.lax.top_k(scores, a_pad)
+    order = jnp.minimum(order, a - 1)          # padding slots: safe gathers
+    sorted_boxes = boxes[order]
+    valid = sorted_scores > -jnp.inf
+    n_live = (jnp.sum(valid) + chunk - 1) // chunk   # blocks with candidates
+
+    def forward(cj, state):
+        cb, ck, keep = state
+        cstart = cj * chunk
+        colb = jax.lax.dynamic_slice(sorted_boxes, (cstart, 0), (chunk, 4))
+        overl = jnp.any((iou_pairs(cb, colb) >= iou_threshold) & ck[:, None],
+                        axis=0)
+        colk = jax.lax.dynamic_slice(keep, (cstart,), (chunk,)) & ~overl
+        return cb, ck, jax.lax.dynamic_update_slice(keep, colk, (cstart,))
+
+    def block(state):
+        j, keep = state
+        start = j * chunk
+        cb = jax.lax.dynamic_slice(sorted_boxes, (start, 0), (chunk, 4))
+        ck = jax.lax.dynamic_slice(keep, (start,), (chunk,))
+        iou_cc = iou_pairs(cb, cb)
+        later = jnp.arange(chunk)[None, :] > jnp.arange(chunk)[:, None]
+
+        def greedy(i, k):
+            return k & ~((iou_cc[i] >= iou_threshold) & k[i] & later[i])
+
+        ck = jax.lax.fori_loop(0, chunk, greedy, ck)
+        keep = jax.lax.dynamic_update_slice(keep, ck, (start,))
+        _, _, keep = jax.lax.fori_loop(j + 1, n_live, forward, (cb, ck, keep))
+        return j + 1, keep
+
+    _, keep = jax.lax.while_loop(lambda s: s[0] < n_live, block, (0, valid))
+    return sorted_boxes, sorted_scores, keep, order
+
+
+def _nms_select_streaming(boxes: jnp.ndarray, masked: jnp.ndarray,
+                          iou_threshold: float, max_faces: int,
+                          chunk: int = 256):
+    """All-candidate exact NMS reduced to the final ``max_faces`` slots.
+
+    Drop-in replacement for ``_nms_select(..., top_k=n_anchors)`` in the
+    exactness fallback, with O(chunk^2) temporaries."""
+    sorted_boxes, sorted_scores, keep, order = nms_streaming(
+        boxes, masked, iou_threshold, chunk)
+    kept_scores = jnp.where(keep, sorted_scores, -jnp.inf)
+    final_scores, sel = jax.lax.top_k(kept_scores, max_faces)
+    return sorted_boxes[sel], final_scores, order[sel]
 
 
 def _decode_all(loc, conf, anchors, frame_hw, input_hw, score_threshold,
@@ -223,9 +303,8 @@ def select_faces(loc: jnp.ndarray, conf: jnp.ndarray, anchors: jnp.ndarray,
         need_full = (n_above > nms_top_k) & (n_surv < max_faces)
 
         def full(_):
-            fb, fs, fi, _ns = _nms_select(boxes, masked, iou_threshold,
-                                          n_anchors, max_faces)
-            return fb, fs, fi
+            return _nms_select_streaming(boxes, masked, iou_threshold,
+                                         max_faces)
 
         final_boxes, final_scores, anchor_sel = jax.lax.cond(
             need_full, full,
@@ -277,10 +356,10 @@ def select_faces_batch(loc: jnp.ndarray, conf: jnp.ndarray,
         need = (n_above > nms_top_k) & (n_surv < max_faces)      # (N,)
 
         def full(_):
-            sel_f = functools.partial(_nms_select,
+            sel_f = functools.partial(_nms_select_streaming,
                                       iou_threshold=iou_threshold,
-                                      top_k=n_anchors, max_faces=max_faces)
-            fb2, fs2, fi2, _ns = jax.vmap(sel_f)(boxes, masked)
+                                      max_faces=max_faces)
+            fb2, fs2, fi2 = jax.vmap(sel_f)(boxes, masked)
             w1 = need[:, None]
             return (jnp.where(w1[..., None], fb2, fb),
                     jnp.where(w1, fs2, fs),
