@@ -117,6 +117,30 @@ class GalleryStore:
     def capacity(self) -> int:
         return 0 if self._device_arr is None else self._device_arr.shape[0]
 
+    def capacity_for(self, n: int) -> int:
+        """Bucket capacity a gallery of ``n`` rows would occupy."""
+        return _bucket_capacity(max(n, 1), self.buckets)
+
+    def next_capacity(self) -> int:
+        """The capacity the NEXT bucket growth would rebuild at."""
+        return _bucket_capacity(self.capacity + 1, self.buckets)
+
+    def dummy_at_capacity(self, cap: int):
+        """(arr, scales) zeros shaped/typed/sharded exactly like a real
+        gallery at capacity ``cap``.
+
+        For precompiling the serving programs of a FUTURE bucket before
+        growth swaps it in: jit caches key on (shape, dtype, sharding), so
+        running the fused programs once against this dummy means the first
+        real call after a bucket rebuild hits the cache instead of paying
+        a 40-120 s TPU compile on the serving path (the reference's
+        ``/reload`` never recompiles — ``src/app.cpp:354-365``)."""
+        if self.quantized:
+            arr = self._place(jnp.zeros((cap, self.embed_dim), jnp.int8))
+            scales = self._place(jnp.ones((cap,), jnp.float32), is_rows=True)
+            return arr, scales
+        return self._place(jnp.zeros((cap, self.embed_dim), self.dtype)), None
+
     def _place(self, dev: jax.Array, is_rows: bool = False) -> jax.Array:
         if self.mesh is not None:
             from facekit.parallel.sharded_search import (shard_gallery,

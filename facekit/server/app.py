@@ -30,6 +30,7 @@ import concurrent.futures
 import json
 import logging
 import os
+import threading
 from typing import Dict, Optional
 
 import numpy as np
@@ -144,6 +145,12 @@ class FaceServer:
             use_pallas=config.use_pallas_search,
             mesh=mesh)
         self.user_dict: Dict[str, str] = self.db.get_user_dict()
+        # bucket-precompile state (must exist before the first reload):
+        # capacities whose full serving-program ladder is known compiled
+        self._warm_caps: set = set()
+        self._warm_lock = threading.Lock()
+        self._warm_enabled = False          # flipped on after init warmup
+        self._prewarm_thread = None
         self.reload_gallery()
         # one worker: device programs serialize on the chip anyway
         self.executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
@@ -187,34 +194,94 @@ class FaceServer:
             # compile exactly the programs this config serves with (a full
             # pipeline compile is 40-120 s on TPU; warming unused variants
             # multiplies cold-start for nothing). The fused batched
-            # programs recompile only when the gallery bucket grows.
+            # programs recompile only when the gallery bucket grows —
+            # which the prewarm machinery below keeps off the serving path.
             snap = self.gallery.snapshot()
-            fh, fw = config.frame_hw
             rh, rw = config.rec_hw
-            for b in self.batch_buckets:   # one compile per ladder bucket
-                self.pipeline.recognize_and_match(
-                    np.zeros((b, fh, fw, 3), np.uint8),
-                    snap.arr, max(snap.count, 1),
-                    use_pallas=self.gallery.use_pallas, return_crops=True,
-                    gallery_scale=snap.scales, mesh=mesh)
-                self.pipeline.embed_and_match(
-                    np.zeros((b, rh, rw, 3), np.uint8),
-                    snap.arr, max(snap.count, 1),
-                    use_pallas=self.gallery.use_pallas,
-                    gallery_scale=snap.scales, mesh=mesh)
+            fh, fw = config.frame_hw
+            self._warm_serving_programs(snap.arr, snap.count, snap.scales)
             # /insert/face paths: cropped -> embed_cropped; uncropped ->
             # the single-frame detect pipeline
             self.pipeline.embed_cropped(np.zeros((rh, rw, 3), np.uint8))
             if not config.api_imgIsCropped:
                 self.pipeline.recognize_frame(
                     np.zeros((fh, fw, 3), np.uint8))
+            self._warm_caps.add(self.gallery.capacity)
+            self._warm_enabled = True
+            self.maybe_prewarm_next_bucket()
+
+    # -- gallery-bucket precompile (no recompile stall at growth) ------------
+
+    def _warm_serving_programs(self, arr, count, scales) -> None:
+        """Run every ladder batch bucket's fused serving programs once
+        against ``arr`` — after this, any serving call with a gallery of
+        this (shape, dtype, sharding) is a jit-cache hit."""
+        fh, fw = self.config.frame_hw
+        rh, rw = self.config.rec_hw
+        for b in self.batch_buckets:   # one compile per ladder bucket
+            self.pipeline.recognize_and_match(
+                np.zeros((b, fh, fw, 3), np.uint8), arr, max(count, 1),
+                use_pallas=self.gallery.use_pallas, return_crops=True,
+                gallery_scale=scales, mesh=self.mesh)
+            self.pipeline.embed_and_match(
+                np.zeros((b, rh, rw, 3), np.uint8), arr, max(count, 1),
+                use_pallas=self.gallery.use_pallas,
+                gallery_scale=scales, mesh=self.mesh)
+
+    def _warm_capacity(self, cap: int) -> None:
+        """Precompile the serving programs for a gallery capacity bucket
+        (idempotent; safe off-thread — jit compiles are host work and JAX
+        tracing/compile is thread-safe)."""
+        with self._warm_lock:
+            if cap in self._warm_caps:
+                return
+        arr, scales = self.gallery.dummy_at_capacity(cap)
+        self._warm_serving_programs(arr, 1, scales)
+        with self._warm_lock:
+            self._warm_caps.add(cap)
+        log.info("serving programs warmed for gallery capacity %d", cap)
+
+    def maybe_prewarm_next_bucket(self):
+        """When the gallery is within ``server_bucketPrewarmFraction``
+        (default 0.8) of its capacity, compile the NEXT bucket's serving
+        programs on a background thread. By the time growth swaps buckets
+        the programs already exist, so no serving-path call ever pays the
+        40-120 s bucket-growth recompile (the reference's ``/reload``
+        never recompiles, ``src/app.cpp:354-365``; facekit matches that
+        operational property). Returns the warm thread, or None."""
+        if not self._warm_enabled:
+            return None
+        frac = float(self.config.extras.get(
+            "server_bucketPrewarmFraction", 0.8))
+        cap = self.gallery.capacity
+        if frac <= 0 or cap == 0 or self.gallery.count < frac * cap:
+            return None
+        nxt = self.gallery.next_capacity()
+        with self._warm_lock:
+            if nxt in self._warm_caps:
+                return None
+        if self._prewarm_thread is not None and self._prewarm_thread.is_alive():
+            return self._prewarm_thread
+        t = threading.Thread(target=self._warm_capacity, args=(nxt,),
+                             daemon=True, name=f"facekit-prewarm-{nxt}")
+        t.start()
+        self._prewarm_thread = t
+        return t
 
     # -- gallery management (reference /reload, src/app.cpp:354-365) ---------
 
     def reload_gallery(self) -> int:
         names, embs = self.db.get_embeddings()
+        # if this reload grows into a bucket whose programs were never
+        # compiled (e.g. a bulk insert blew straight past the prewarm
+        # threshold), compile them FIRST — the old gallery keeps serving
+        # while we do, instead of every request stalling behind the
+        # recompile after the swap
+        if self._warm_enabled:
+            self._warm_capacity(self.gallery.capacity_for(len(names)))
         self.gallery.load(names, embs)
         self.user_dict = self.db.get_user_dict()
+        self.maybe_prewarm_next_bucket()
         log.info("gallery reloaded: %d embeddings", len(names))
         return len(names)
 
@@ -549,7 +616,10 @@ def make_app(server: FaceServer):
 
     # -- GET /reload (src/app.cpp:354-365) ------------------------------------
     async def reload(request):
-        await run_blocking(server.reload_gallery)
+        # decode pool, NOT the device executor: reload is host work (DB
+        # read + gallery rebuild + upload, possibly a bucket-program warm
+        # compile) and must not block in-flight serving dispatches
+        await run_db(server.reload_gallery)
         return web.Response(text="Success\n")
 
     # -- facekit extensions ----------------------------------------------------

@@ -33,7 +33,12 @@ def main(argv=None):
     ap.add_argument("--verify", action="store_true",
                     help="run the converted JAX model on random input and "
                          "report output stats (shape/finite/L2-norm)")
+    ap.add_argument("--no-strict", action="store_true",
+                    help="allow unconsumed checkpoint keys (by default the "
+                         "converter refuses silent partial loads, like the "
+                         "reference's check_keys)")
     args = ap.parse_args(argv)
+    strict = not args.no_strict
 
     if args.model == "train-checkpoint":
         # facekit-trained backbone -> serving pytree (the train->serve
@@ -53,11 +58,13 @@ def main(argv=None):
     else:
         sd = load_torch_checkpoint(args.checkpoint)
         if args.model == "arcface":
-            params = convert_arcface_state_dict(sd, args.network)
+            params = convert_arcface_state_dict(sd, args.network,
+                                                strict=strict)
         elif args.model == "retinaface":
-            params = convert_retinaface_state_dict(sd)
+            params = convert_retinaface_state_dict(sd, strict=strict)
         else:
-            params = convert_lightdet_state_dict(sd, args.model)
+            params = convert_lightdet_state_dict(sd, args.model,
+                                                 strict=strict)
     save_params(params, args.output)
     print(f"wrote {args.output}")
 

@@ -27,6 +27,69 @@ from facekit.models.arcface import _block_specs  # architecture spec source
 from facekit.models.retinaface import _STAGE1, _STAGE2, _STAGE3
 
 
+class ConversionError(KeyError):
+    """Checkpoint does not match the requested facekit model mapping."""
+
+    def __str__(self):  # KeyError quotes its arg; keep the message readable
+        return self.args[0] if self.args else ""
+
+
+class _TrackedState:
+    """Checkpoint wrapper: strips ``module.`` (DataParallel) prefixes,
+    records which keys the conversion consumed, and turns a missing key
+    into a loud diagnostic instead of a bare KeyError.
+
+    The facekit analog of the reference's ``check_keys`` + ``remove_prefix``
+    guard (``conversion/retina/torch2trt.py:28-64``): conversion must
+    refuse silent partial loads — a real-world checkpoint with extra heads,
+    renamed layers, or missing tensors fails with the offending key sets,
+    not a stack trace or a quietly wrong model."""
+
+    #: torch bookkeeping never used by inference params
+    _IGNORED_SUFFIXES = (".num_batches_tracked",)
+
+    def __init__(self, sd: Mapping[str, Any]):
+        self.data: Dict[str, Any] = {}
+        for k, v in sd.items():
+            self.data[k[len("module."):] if k.startswith("module.") else k] = v
+        self.consumed: set = set()
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.data
+
+    def __getitem__(self, key: str):
+        if key not in self.data:
+            near = sorted(k for k in self.data
+                          if k.split(".")[0] == key.split(".")[0])[:8]
+            hint = ("; checkpoint keys under the same module: "
+                    + ", ".join(near)) if near else ""
+            raise ConversionError(
+                f"checkpoint is missing key `{key}` required by this model "
+                f"mapping ({len(self.data)} keys present{hint}). Wrong "
+                "--network variant, or a differently-structured checkpoint?")
+        self.consumed.add(key)
+        return self.data[key]
+
+    def check_consumed(self, model: str) -> None:
+        """Fail if the checkpoint held tensors the mapping never consumed
+        (extra heads, optimizer state, fused training wrappers...)."""
+        left = [k for k in self.data
+                if k not in self.consumed
+                and not k.endswith(self._IGNORED_SUFFIXES)]
+        if left:
+            shown = ", ".join(sorted(left)[:12])
+            more = f" (+{len(left) - 12} more)" if len(left) > 12 else ""
+            raise ConversionError(
+                f"{len(left)} checkpoint keys were never consumed by the "
+                f"{model} mapping: {shown}{more}. Refusing a silent partial "
+                "load — strip training-only state or pick the matching "
+                "network variant (pass strict=False to convert anyway).")
+
+
+def _tracked(sd: Mapping[str, Any]) -> "_TrackedState":
+    return sd if isinstance(sd, _TrackedState) else _TrackedState(sd)
+
+
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
@@ -67,7 +130,9 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 def convert_arcface_state_dict(sd: Mapping[str, Any],
-                               network: str = "ir_50") -> Dict[str, Any]:
+                               network: str = "ir_50",
+                               strict: bool = True) -> Dict[str, Any]:
+    sd = _tracked(sd)
     base = network.replace("ir_se", "ir")
     specs = _block_specs(base)
     params: Dict[str, Any] = {
@@ -106,6 +171,8 @@ def convert_arcface_state_dict(sd: Mapping[str, Any],
                 "fc2": _conv(sd, f"{pre}.res_layer.5.fc2.weight"),
             }
         params["blocks"].append(blk)
+    if strict:
+        sd.check_consumed(f"arcface {network}")
     return params
 
 
@@ -133,7 +200,9 @@ def _head_unit(sd, prefix) -> Dict[str, Any]:
     }
 
 
-def convert_retinaface_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+def convert_retinaface_state_dict(sd: Mapping[str, Any],
+                                  strict: bool = True) -> Dict[str, Any]:
+    sd = _tracked(sd)
     params: Dict[str, Any] = {
         "stem": _conv_bn_unit(sd, "body.stage1.0"),
         "stage1": [_conv_dw_unit(sd, f"body.stage1.{i + 1}")
@@ -164,6 +233,8 @@ def convert_retinaface_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     if "LandmarkHead.0.conv1x1.weight" in sd:
         params["ldm_head"] = [_head_unit(sd, f"LandmarkHead.{i}")
                               for i in range(3)]
+    if strict:
+        sd.check_consumed("retinaface")
     return params
 
 
@@ -196,9 +267,11 @@ def _basic_conv_unit(sd, prefix):
 
 
 def convert_lightdet_state_dict(sd: Mapping[str, Any],
-                                variant: str = "slim") -> Dict[str, Any]:
+                                variant: str = "slim",
+                                strict: bool = True) -> Dict[str, Any]:
     from facekit.models.lightdet import _DW_CHAIN
 
+    sd = _tracked(sd)
     params: Dict[str, Any] = {
         "conv1": _conv_bn_unit(sd, "conv1"),
         "dw": [],
@@ -229,4 +302,6 @@ def convert_lightdet_state_dict(sd: Mapping[str, Any],
             else:
                 heads.append(_biased_conv(sd, f"{name}.{lvl}"))
         params[name] = heads
+    if strict:
+        sd.check_consumed(f"lightdet {variant}")
     return params

@@ -109,6 +109,47 @@ def test_gallery_store_mesh_backed(mesh8, rng):
     np.testing.assert_allclose(vals[:, 0], 1.0, rtol=1e-5)
 
 
+def test_gallery_store_mesh_add(mesh8, rng):
+    """Append into a row-sharded store (VERDICT r2 weak #6): results exact,
+    arrays STAY sharded across appends, and the compiled row update
+    contains no all-gather of the gallery (the op class where GSPMD can
+    silently gather — gallery/store.py _set_row/_set_scalar)."""
+    from facekit.gallery import GalleryStore
+    from facekit.gallery.store import _set_row
+
+    emb = _norm_rows(rng.normal(size=(20, 512)).astype(np.float32))
+    for dtype in ("float32", "int8"):
+        store = GalleryStore(dtype=dtype, use_pallas=False, mesh=mesh8,
+                             buckets=(16, 32, 64))
+        store.load([f"u{i}" for i in range(10)], emb[:10])
+        cap0 = store.capacity
+        for j in range(10, 14):      # stays inside the 16-bucket
+            store.add(f"u{j}", emb[j])
+        assert store.capacity == cap0
+        assert len(store._device_arr.sharding.device_set) == 8, dtype
+        assert store._device_arr.sharding.spec[0] == "gallery"
+        if dtype == "int8":
+            assert len(store._scales.sharding.device_set) == 8
+        vals, idx, names = store.search(jnp.asarray(emb[[11, 13]]), k=1)
+        assert [names[i] for i in idx[:, 0]] == ["u11", "u13"]
+        np.testing.assert_allclose(vals[:, 0], 1.0, atol=5e-3)
+        # appends crossing the bucket boundary rebuild, still sharded
+        for j in range(14, 18):
+            store.add(f"u{j}", emb[j])
+        assert store.capacity == 32
+        assert len(store._device_arr.sharding.device_set) == 8
+        vals, idx, names = store.search(jnp.asarray(emb[[17]]), k=1)
+        assert names[idx[0, 0]] == "u17"
+
+    # compiled update: no cross-device gather of the gallery rows
+    store = GalleryStore(dtype="float32", use_pallas=False, mesh=mesh8,
+                         buckets=(16, 32))
+    store.load([f"u{i}" for i in range(10)], emb[:10])
+    hlo = _set_row.lower(store._device_arr, jnp.asarray(emb[10]),
+                         jnp.int32(10)).compile().as_text()
+    assert "all-gather" not in hlo and "all-to-all" not in hlo, hlo[:2000]
+
+
 def test_train_step_remat():
     """Rematerialized train step produces the same loss as the plain one."""
     local_rng = np.random.default_rng(7)
