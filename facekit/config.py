@@ -123,6 +123,11 @@ def load_config(path_or_dict) -> FaceKitConfig:
         if key in _IGNORED_REFERENCE_KEYS:
             extras[key] = value
             continue
+        if key == "extras" and isinstance(value, dict):
+            # an explicit extras block (the constructor's spelling) merges
+            # with flat unknown keys instead of nesting under extras.extras
+            extras.update(value)
+            continue
         if key in fields and key != "extras":
             if key in ("det_inputShape", "rec_inputShape", "gallery_bucket_sizes"):
                 value = tuple(value)

@@ -48,6 +48,23 @@ def _sds_tree(tree):
         tree)
 
 
+def _quant_meta(pipeline) -> Dict[str, Any]:
+    """Quantization/calibration state for engine metadata.
+
+    The rec_params pytree SIGNATURE differs between float, dynamic-int8,
+    and calibrated-int8 pipelines ('ascale' leaves); without this a loader
+    can't tell why a params tree mismatches until an opaque pytree
+    structure error (r2 advisor finding)."""
+    quantized = bool(getattr(pipeline.config, "rec_quantize", False))
+    calibrated = False
+    if quantized:
+        try:
+            calibrated = "ascale" in pipeline.rec_params["input"]["conv"]
+        except (KeyError, TypeError):
+            calibrated = False
+    return {"rec_quantize": quantized, "rec_calibrated": calibrated}
+
+
 def export_recognize_engine(pipeline, batch_size: int,
                             platforms: Optional[Sequence[str]] = None):
     """Export the fused detect->align->embed program at a fixed batch.
@@ -89,6 +106,7 @@ def export_recognize_engine(pipeline, batch_size: int,
         "rec_network": cfg.rec_network,
         "compute_dtype": cfg.compute_dtype,
         "platforms": list(exp.platforms),
+        **_quant_meta(pipeline),
     }
     return exp.serialize(), meta
 
@@ -119,6 +137,7 @@ def export_embed_engine(pipeline, batch_size: int,
         "rec_network": cfg.rec_network,
         "compute_dtype": cfg.compute_dtype,
         "platforms": list(exp.platforms),
+        **_quant_meta(pipeline),
     }
     return exp.serialize(), meta
 
@@ -230,6 +249,7 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
         "mesh_shape": (dict(zip(mesh.axis_names, mesh.devices.shape))
                        if mesh is not None else None),
         "platforms": list(exp.platforms),
+        **_quant_meta(pipeline),
     }
     return exp.serialize(), meta
 
@@ -305,7 +325,16 @@ def main(argv=None) -> None:
     # same int8 calibration the server applies for this config — an
     # exported engine must embed with the scales the server serves with
     from facekit.server.app import calibrate_from_config
-    calibrate_from_config(pipe, cfg)
+    calibrated = calibrate_from_config(pipe, cfg)
+    if (cfg.extras.get("rec_calibrationDir")
+            and getattr(cfg, "rec_quantize", False) and not calibrated):
+        # a server would degrade to dynamic scales with a warning; an
+        # EXPORT must not bake the wrong params signature into a frozen
+        # artifact (r2 advisor finding) — fail loudly instead
+        raise SystemExit(
+            "engine export: rec_calibrationDir is configured but unusable "
+            f"({cfg.extras.get('rec_calibrationDir')}); refusing to export "
+            "an uncalibrated artifact for a calibrated config")
     plats = (None if args.platforms == "native"
              else args.platforms.split(","))
 

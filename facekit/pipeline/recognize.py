@@ -36,6 +36,12 @@ from facekit.ops.boxes import select_faces, select_faces_batch
 from facekit.ops.preprocess import det_normalize, rec_normalize
 from facekit.ops.resize import crop_resize, letterbox, resize_image
 
+#: default int8-calibration headroom, shared by EVERY entry point
+#: (FacePipeline.calibrate_embedder, server calibrate_from_config, engine
+#: export) so direct API callers calibrate identically to the server
+#: (r2 advisor finding: a silent 1.0-vs-1.25 split raised saturation risk)
+CALIBRATION_HEADROOM = 1.25
+
 
 def _detector_forward(det_params, x, det_network: str, dtype):
     """Dispatch on the detector family; returns (loc, conf, ldm_or_None) and
@@ -329,7 +335,8 @@ class FacePipeline:
         self.dtype = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
                       else jnp.float32)
 
-    def calibrate_embedder(self, crop_batches, headroom: float = 1.0) -> None:
+    def calibrate_embedder(self, crop_batches,
+                           headroom: float = CALIBRATION_HEADROOM) -> None:
         """Switch the int8 embedder from dynamic to CALIBRATED static
         activation scales (requires ``rec_quantize``).
 

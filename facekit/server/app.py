@@ -79,7 +79,9 @@ def calibrate_from_config(pipeline, config) -> bool:
     calib_dir = config.extras.get("rec_calibrationDir")
     if not (calib_dir and getattr(config, "rec_quantize", False)):
         return False
-    headroom = float(config.extras.get("rec_calibrationHeadroom", 1.25))
+    from facekit.pipeline.recognize import CALIBRATION_HEADROOM
+    headroom = float(config.extras.get("rec_calibrationHeadroom",
+                                       CALIBRATION_HEADROOM))
     try:
         pipeline.calibrate_embedder(
             _load_calibration_crops(calib_dir, config.rec_hw),

@@ -11,6 +11,7 @@ cross-shard softmax reductions.
 
 from __future__ import annotations
 
+import math
 from typing import Dict
 
 import jax
@@ -54,15 +55,28 @@ def combined_margin_logits(head: Dict, embeddings: jnp.ndarray,
 
     (1, m, 0) = ArcFace, (1, 0, m) = CosFace (Wang et al. 2018),
     (m, 0, 0) = SphereFace (Liu et al. 2017); intermediate triples are the
-    "combined margin" of the insightface training recipes. The margined
-    angle is clipped to [0, pi] (the standard stabilization), so the
-    target logit is monotone in theta for any margin triple.
+    "combined margin" of the insightface training recipes.
+
+    Degenerate region (m1*theta + m2 > pi, i.e. hard examples near the
+    antipode): instead of clipping the angle — which makes the target
+    logit the CONSTANT -1 - m3 with zero gradient — apply the same
+    linear penalty ``cos - sin(m2)*m2`` that ``arc_margin_logits`` uses,
+    so hard examples keep a training signal. At the (1, m, 0) ArcFace
+    triple this is gradient-equivalent to ``arc_margin_logits``
+    (r2 advisor finding).
     """
     w = head["w"]
     wn = w / jnp.linalg.norm(w, axis=1, keepdims=True)
     cos = embeddings @ wn.T                                 # (B, C)
     cos = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos)
-    phi = jnp.cos(jnp.clip(m1 * theta + m2, 0.0, jnp.pi)) - m3
+    phi = jnp.cos(m1 * theta + m2) - m3
+    # threshold in cos space: theta > (pi - m2)/m1 <=> cos < cos(...)
+    # (m1 <= 0 or (pi - m2)/m1 >= pi puts the threshold at cos(pi) = -1,
+    # below the clip floor, so the fallback branch is never taken)
+    safe_m1 = max(m1, 1e-6)
+    th = math.cos(min((math.pi - m2) / safe_m1, math.pi))
+    mm = math.sin(m2) * m2
+    phi = jnp.where(cos > th, phi, cos - mm - m3)
     onehot = jax.nn.one_hot(labels, w.shape[0], dtype=cos.dtype)
     return scale * (onehot * phi + (1.0 - onehot) * cos)

@@ -87,6 +87,54 @@ def test_engine_cli_with_slim_detector(tmp_path):
     assert meta["det_network"] == "slim"
 
 
+def test_engine_meta_records_quantization_state(tiny_pipe, tmp_path, rng):
+    """Engine meta must carry rec_quantize/rec_calibrated so a loader can
+    detect a params-signature mismatch up front instead of an opaque
+    pytree error (r2 advisor finding)."""
+    import cv2
+    _, meta = export_embed_engine(tiny_pipe, batch_size=2)
+    assert meta["rec_quantize"] is False and meta["rec_calibrated"] is False
+
+    cfg_q = FaceKitConfig(det_network="slim", rec_network="ir_tiny",
+                          det_inputShape=(3, 64, 64),
+                          input_frameWidth=160, input_frameHeight=120,
+                          compute_dtype="float32", rec_quantize=True)
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    pipe_q = FacePipeline(cfg_q, det, rec)
+    _, meta_q = export_embed_engine(pipe_q, batch_size=2)
+    assert meta_q["rec_quantize"] is True and meta_q["rec_calibrated"] is False
+
+    crop = rng.integers(0, 256, size=(1, 112, 112, 3)).astype(np.uint8)
+    pipe_q.calibrate_embedder([crop])
+    _, meta_c = export_embed_engine(pipe_q, batch_size=2)
+    assert meta_c["rec_calibrated"] is True
+
+    # calibrate_embedder and the server/export path share ONE headroom
+    # default (r2 advisor finding #2)
+    from facekit.pipeline.recognize import CALIBRATION_HEADROOM
+    import inspect
+    sig = inspect.signature(FacePipeline.calibrate_embedder)
+    assert sig.parameters["headroom"].default == CALIBRATION_HEADROOM
+
+
+def test_engine_cli_refuses_unusable_calibration(tmp_path):
+    """A configured-but-unusable rec_calibrationDir must FAIL the export
+    (a server degrades with a warning; a frozen artifact must not bake in
+    the wrong params signature — r2 advisor finding)."""
+    from facekit import engine
+    cfg_path = tmp_path / "badcal.json"
+    cfg_path.write_text(json.dumps({
+        "det_network": "slim", "rec_network": "ir_tiny",
+        "det_inputShape": [3, 64, 64],
+        "input_frameWidth": 160, "input_frameHeight": 120,
+        "compute_dtype": "float32", "rec_quantize": True,
+        "extras": {"rec_calibrationDir": str(tmp_path / "nonexistent")}}))
+    with pytest.raises(SystemExit, match="refusing to export"):
+        engine.main(["export", "-c", str(cfg_path),
+                     "-o", str(tmp_path / "e"), "-b", "2"])
+
+
 def test_identify_mesh_engine_export(tmp_path):
     """--identify-mesh exports the complete fused identify program
     sharded over a REAL v5e:2x4 topology: 8-device TPU artifact with

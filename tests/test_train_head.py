@@ -55,6 +55,39 @@ def test_combined_m2_matches_arcface(rng):
     np.testing.assert_allclose(a[ok], b[ok], atol=5e-4)
 
 
+def test_combined_margin_degenerate_region_keeps_gradient(rng):
+    """theta + m > pi (hard example near the antipode): r2's angle clip
+    made the target logit the constant -1 - m3 with ZERO gradient; the
+    arc-style linear fallback must keep (1, m, 0) gradient-equivalent to
+    arc_margin_logits there (r2 advisor finding)."""
+    head, _, _ = _setup(rng)
+    w = np.asarray(head["w"])
+    # embedding pointed almost exactly away from its class center
+    target = 3
+    e = -w[target] / np.linalg.norm(w[target])
+    e = e + 0.01 * rng.normal(size=e.shape)
+    e = (e / np.linalg.norm(e)).astype(np.float32)[None]
+    labels = jnp.asarray([target], jnp.int32)
+    emb = jnp.asarray(e)
+
+    a = np.asarray(arc_margin_logits(head, emb, labels, 0.5, 64.0))
+    b = np.asarray(combined_margin_logits(head, emb, labels,
+                                          1.0, 0.5, 0.0, 64.0))
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+    def tgt_logit(fn):
+        def f(x):
+            return fn(head, x, labels)[0, target]
+        return np.asarray(jax.grad(f)(emb))
+
+    ga = tgt_logit(lambda h, x, l: arc_margin_logits(h, x, l, 0.5, 64.0))
+    gb = tgt_logit(lambda h, x, l: combined_margin_logits(h, x, l,
+                                                          1.0, 0.5, 0.0,
+                                                          64.0))
+    assert np.abs(gb).max() > 1e-3, "degenerate region lost its gradient"
+    np.testing.assert_allclose(ga, gb, atol=1e-3)
+
+
 def test_sphereface_margin_reduces_target(rng):
     """(m1, 0, 0): multiplicative angular margin lowers the target logit,
     leaves the rest, and keeps gradients finite."""
