@@ -116,7 +116,8 @@ def _block_apply(x, p, stride: int, stats=None, prefix: str = ""):
 
 
 def quantize_arcface_params(params: Dict[str, Any],
-                            act_amax: Optional[Dict[str, float]] = None
+                            act_amax: Optional[Dict[str, float]] = None,
+                            skip_sites: Optional[set] = None
                             ) -> Dict[str, Any]:
     """Post-training int8 weight quantization of every backbone conv
     (per-output-channel scales); BN/PReLU/SE/linear stay float. Activations
@@ -127,8 +128,16 @@ def quantize_arcface_params(params: Dict[str, Any],
     ``arcface_apply`` — the weight form dispatches (facekit's
     lower-precision serving point vs the reference's fp16 engines,
     conversion/arcface/torch2trt.py:42-44). Drift bounds:
-    tests/test_model_parity.py::test_arcface_int8_drift."""
+    tests/test_model_parity.py::test_arcface_int8_drift.
+
+    ``skip_sites``: site names kept in the float/compute dtype (default:
+    nothing skipped; pass ``slow_s8_sites(network)`` to dodge XLA's slow
+    s8 stride-2 lowering — see that helper)."""
+    skip = skip_sites or set()
+
     def q(w, name):
+        if name in skip:
+            return w
         wq, scale = L.quantize_conv_weight(w)
         d = {"q": wq, "scale": scale}
         if act_amax is not None:

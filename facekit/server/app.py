@@ -696,6 +696,17 @@ def make_app(server: FaceServer):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS from the environment (standard JAX behavior):
+    # some hosts force-register an accelerator plugin in sitecustomize and
+    # override the env var programmatically, which makes CPU-only serving
+    # (CI, load tests) impossible without this
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     from aiohttp import web
     from facekit.config import load_config
 

@@ -1,0 +1,215 @@
+"""Serving load generator: client-side latency + server /metrics capture.
+
+Drives a RUNNING facekit server (``python -m facekit.server``) the way the
+reference's clients do — HTTP ``POST /recognize`` with raw image bytes and
+WS ``/inference`` frames (``src/main.cpp``/``src/webclient.cpp``) — at a
+ladder of concurrency levels, and reports both client-observed latency and
+the server's own ``/metrics`` percentiles.
+
+Measurement rules for the dev-TPU tunnel (CLAUDE.md): every request body is
+UNIQUE (the tunnel serves identical remote executions from cache, so a
+repeated JPEG would measure a cache hit, not the serving path) — payloads
+are pre-encoded before the clock starts so client-side JPEG work doesn't
+contend with the server on small hosts.
+
+Usage (against a live server):
+
+    python -m facekit.server.loadtest --port 18080 \
+        --concurrency 1,8,64 --requests 32,96,256 [--grow]
+
+``--grow`` inserts faces and issues ``/reload`` sized to cross the next
+gallery capacity bucket DURING the middle load phase — the operational
+event the bucket-prewarm machinery (server/app.py) keeps off the serving
+path; latency percentiles before/after quantify it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _percentiles(xs: List[float]) -> Dict[str, float]:
+    a = np.asarray(xs) * 1e3
+    return {"n": len(xs), "p50_ms": float(np.percentile(a, 50)),
+            "p90_ms": float(np.percentile(a, 90)),
+            "p99_ms": float(np.percentile(a, 99)),
+            "mean_ms": float(a.mean())}
+
+
+def make_payloads(n: int, hw, seed: int = 0) -> List[bytes]:
+    """n unique JPEG payloads of (h, w) noise-perturbed frames."""
+    import cv2
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(*hw, 3)).astype(np.uint8)
+    out = []
+    for i in range(n):
+        img = base.copy()
+        # unique, compression-surviving perturbation per payload
+        y, x = (i * 37) % (hw[0] - 8), (i * 53) % (hw[1] - 8)
+        img[y:y + 8, x:x + 8] = (i * 29) % 256
+        ok, buf = cv2.imencode(".jpg", img)
+        assert ok
+        out.append(buf.tobytes())
+    return out
+
+
+async def run_http_phase(session, url: str, payloads: List[bytes],
+                         concurrency: int) -> Dict[str, float]:
+    """POST /recognize at fixed concurrency; returns latency percentiles."""
+    times: List[float] = []
+    it = iter(payloads)
+
+    async def worker():
+        while True:
+            try:
+                body = next(it)
+            except StopIteration:
+                return
+            t0 = time.perf_counter()
+            async with session.post(url + "/recognize", data=body) as r:
+                await r.read()
+                assert r.status == 200, r.status
+            times.append(time.perf_counter() - t0)
+
+    await asyncio.gather(*[worker() for _ in range(concurrency)])
+    return _percentiles(times)
+
+
+async def run_ws_phase(session, url: str, payloads: List[bytes],
+                       concurrency: int) -> Dict[str, float]:
+    """WS /inference: one socket per worker, one in-flight frame each
+    (the reference client's request/reply protocol, src/webclient.cpp)."""
+    times: List[float] = []
+    it = iter(payloads)
+
+    async def worker():
+        ws_url = url.replace("http", "ws", 1) + "/inference"
+        async with session.ws_connect(ws_url, max_msg_size=64 << 20) as ws:
+            while True:
+                try:
+                    body = next(it)
+                except StopIteration:
+                    return
+                t0 = time.perf_counter()
+                await ws.send_bytes(body)
+                await ws.receive()
+                times.append(time.perf_counter() - t0)
+
+    await asyncio.gather(*[worker() for _ in range(concurrency)])
+    return _percentiles(times)
+
+
+async def grow_gallery(session, url: str, crops: List[bytes], tmp_dir: str,
+                       count: int) -> Dict[str, float]:
+    """Insert ``count`` faces (unique crops written to tmp files) and
+    /reload — the bucket-growth event, timed."""
+    import os
+    t0 = time.perf_counter()
+    for i, body in enumerate(crops[:count]):
+        p = os.path.join(tmp_dir, f"lt_grow_{i}.jpg")
+        with open(p, "wb") as f:
+            f.write(body)
+        await session.post(url + "/insert/user", data=json.dumps(
+            {"userId": f"lt{i}", "userName": f"LT {i}"}))
+        async with session.post(url + "/insert/face", data=json.dumps(
+                {"data": [{"userId": f"lt{i}", "imgPath": p}]})) as r:
+            assert "inserted successfully" in await r.text()
+    insert_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    async with session.get(url + "/reload") as r:
+        assert (await r.text()) == "Success\n"
+    return {"insert_s": insert_s, "reload_s": time.perf_counter() - t0}
+
+
+async def amain(args) -> Dict:
+    import aiohttp
+    import tempfile
+
+    url = f"http://{args.host}:{args.port}"
+    conc = [int(c) for c in args.concurrency.split(",")]
+    reqs = [int(r) for r in args.requests.split(",")]
+    assert len(conc) == len(reqs)
+
+    timeout = aiohttp.ClientTimeout(total=None, sock_read=600)
+    results: Dict = {"phases": []}
+    async with aiohttp.ClientSession(timeout=timeout) as session:
+        async with session.get(url + "/health") as r:
+            health = json.loads(await r.text())
+        results["health"] = health
+
+        # payload pools (pre-encoded; /recognize takes crops, WS frames)
+        crop_hw = tuple(args.crop_hw)
+        frame_hw = tuple(args.frame_hw)
+        n_total = sum(reqs)
+        crops = make_payloads(n_total + args.grow_count, crop_hw, seed=1)
+        frames = make_payloads(n_total, frame_hw, seed=2)
+
+        # seed the gallery so /recognize has something to match
+        with tempfile.TemporaryDirectory() as td:
+            await grow_gallery(session, url, crops[n_total:], td,
+                               min(4, args.grow_count))
+        # warm both serving programs once (compile if cold) off the clock
+        async with session.post(url + "/recognize", data=crops[0]) as r:
+            await r.read()
+        await run_ws_phase(session, url, frames[:1], 1)
+
+        off = 0
+        grow_info = None
+        for li, (c, n) in enumerate(zip(conc, reqs)):
+            http_stats = await run_http_phase(
+                session, url, crops[off:off + n], c)
+            ws_stats = await run_ws_phase(
+                session, url, frames[off:off + n], c)
+            phase = {"concurrency": c, "http_recognize": http_stats,
+                     "ws_inference": ws_stats}
+            results["phases"].append(phase)
+            off += n
+            if args.grow and grow_info is None:
+                # bucket growth between the first and second phases: the
+                # later phases' percentiles show whether growth cost the
+                # serving path anything (with prewarm it must not)
+                with tempfile.TemporaryDirectory() as td:
+                    grow_info = await grow_gallery(
+                        session, url, crops[n_total + 4:], td,
+                        args.grow_count - 4)
+                results["grow"] = grow_info
+        async with session.get(url + "/metrics") as r:
+            results["server_metrics"] = json.loads(await r.text())
+        async with session.get(url + "/health") as r:
+            results["health_after"] = json.loads(await r.text())
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("facekit load test")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=18080)
+    ap.add_argument("--concurrency", default="1,8,64")
+    ap.add_argument("--requests", default="32,96,256")
+    ap.add_argument("--crop-hw", type=int, nargs=2, default=(112, 112))
+    ap.add_argument("--frame-hw", type=int, nargs=2, default=(480, 640))
+    ap.add_argument("--grow", action="store_true",
+                    help="insert faces + /reload sized to cross a gallery "
+                         "bucket during the middle phase")
+    ap.add_argument("--grow-count", type=int, default=16)
+    ap.add_argument("-o", "--out", default=None, help="write JSON here too")
+    args = ap.parse_args(argv)
+
+    results = asyncio.run(amain(args))
+    js = json.dumps(results, indent=1)
+    print(js)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(js)
+    return results
+
+
+if __name__ == "__main__":
+    main()

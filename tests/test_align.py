@@ -54,6 +54,21 @@ def test_umeyama_matches_numpy_oracle(rng):
     np.testing.assert_allclose(m, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_umeyama_reflection_case_matches_oracle(rng):
+    """det(cov) < 0 (mirrored correspondence): the closed-form rotation
+    must reproduce the SVD formulation's sign-corrected R — still a
+    PROPER rotation (det +1), never a reflection."""
+    src = (ARCFACE_TEMPLATE_112 +
+           rng.normal(0, 3, size=(5, 2))).astype(np.float32)
+    mirrored = ARCFACE_TEMPLATE_112 * np.array([-1.0, 1.0]) + [112.0, 0.0]
+    m = np.asarray(umeyama(jnp.asarray(src), jnp.asarray(
+        mirrored.astype(np.float32))))
+    ref = _umeyama_oracle(src, mirrored.astype(np.float32))
+    np.testing.assert_allclose(m, ref, rtol=1e-4, atol=1e-4)
+    r = m[:, :2]
+    assert np.linalg.det(r) > 0
+
+
 def test_warp_gather_matches_cv2(rng):
     frame = rng.uniform(0, 255, size=(480, 640, 3)).astype(np.float32)
     lm = (ARCFACE_TEMPLATE_112 * 2.0 + np.array([150.0, 80.0])).astype(np.float32)
