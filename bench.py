@@ -366,6 +366,7 @@ def main():
         # VERDICT r2 weak #2: this branch's device time was never measured.
         try:
             _log("profiling exact-NMS fallback branch (batch-64 crowd)...")
+            import jax.numpy as jnp
             from facekit.ops.boxes import select_faces_batch
             from facekit.ops.anchors import generate_anchors
             ihw = cfg.det_hw
