@@ -131,8 +131,9 @@ def quantize_arcface_params(params: Dict[str, Any],
     tests/test_model_parity.py::test_arcface_int8_drift.
 
     ``skip_sites``: site names kept in the float/compute dtype (default:
-    nothing skipped; pass ``slow_s8_sites(network)`` to dodge XLA's slow
-    s8 stride-2 lowering — see that helper)."""
+    nothing skipped — mixed-precision serving was measured FLAT on the
+    slow s8 stride-2 shapes, docs/ROADMAP.md r3; the knob remains for
+    accuracy-driven mixed quantization)."""
     skip = skip_sites or set()
 
     def q(w, name):

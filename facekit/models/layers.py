@@ -87,43 +87,6 @@ def quantize_conv_weight(w_hwio: jnp.ndarray):
     return q.astype(jnp.int8), scale.astype(jnp.float32)
 
 
-def _conv_s8_s2_space_to_depth(xq: jnp.ndarray, wq: jnp.ndarray) -> jnp.ndarray:
-    """3x3 stride-2 pad-1 s8 conv as a stride-1 2x2 conv on 2x2-packed input.
-
-    XLA's s8 stride-2 lowering at C <= 128 runs at ~1/3 of its own
-    stride-1 rate, and the same convs in bf16 are just as slow (both
-    measured, r3 hlo profile; docs/ROADMAP.md) — the pathology is the
-    strided window extraction at small channel counts, not the dtype.
-    Space-to-depth moves the stride into the layout: pack each 2x2 input
-    cell into channels (C -> 4C) and convolve stride-1 with a (2, 2, 4C, O)
-    kernel holding the 3x3 taps at their packed positions (7/16 slots are
-    structural zeros — 1.78x the MACs, at the ~2.8x faster stride-1 rate).
-    Integer-exact: same taps, same s32 accumulation order class.
-
-    Derivation: out[i, j] reads input rows 2i-1..2i+1; in packed cells
-    that is rows {i-1, i} with in-cell parity py, ky = 2a + py - 1 for
-    cell offset a in {0, 1} (pad (1, 0) supplies the i-1 edge), and the
-    same along the width axis.
-    """
-    n, h, w, c = xq.shape
-    xp = xq.reshape(n, h // 2, 2, w // 2, 2, c)
-    xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
-    o = wq.shape[-1]
-    wp = jnp.zeros((2, 2, 2, 2, c, o), wq.dtype)
-    for a in (0, 1):
-        for b in (0, 1):
-            for py in (0, 1):
-                for px in (0, 1):
-                    ky, kx = 2 * a + py - 1, 2 * b + px - 1
-                    if 0 <= ky < 3 and 0 <= kx < 3:
-                        wp = wp.at[a, b, py, px].set(wq[ky, kx])
-    wp = wp.reshape(2, 2, 4 * c, o)
-    return jax.lax.conv_general_dilated(
-        xp, wp, window_strides=(1, 1), padding=[(1, 0), (1, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
-
-
 def conv2d_int8(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
                 stride: int = 1, padding: int = 0,
                 groups: int = 1,

@@ -148,8 +148,12 @@ class FaceServer:
             mesh=mesh)
         self.user_dict: Dict[str, str] = self.db.get_user_dict()
         # bucket-precompile state (must exist before the first reload):
-        # capacities whose full serving-program ladder is known compiled
+        # _warm_caps = capacities whose full serving-program ladder is
+        # KNOWN compiled; _warm_events = capacities CLAIMED (in progress
+        # or done) — a concurrent warm of the same capacity waits on the
+        # claimant's event instead of tracing the whole ladder twice
         self._warm_caps: set = set()
+        self._warm_events: Dict[int, threading.Event] = {}
         self._warm_lock = threading.Lock()
         self._warm_enabled = False          # flipped on after init warmup
         self._prewarm_thread = None
@@ -208,7 +212,11 @@ class FaceServer:
             if not config.api_imgIsCropped:
                 self.pipeline.recognize_frame(
                     np.zeros((fh, fw, 3), np.uint8))
-            self._warm_caps.add(self.gallery.capacity)
+            cap0 = self.gallery.capacity
+            self._warm_caps.add(cap0)
+            ev0 = threading.Event()
+            ev0.set()
+            self._warm_events[cap0] = ev0
             self._warm_enabled = True
             self.maybe_prewarm_next_bucket()
 
@@ -231,16 +239,37 @@ class FaceServer:
                 gallery_scale=scales, mesh=self.mesh)
 
     def _warm_capacity(self, cap: int) -> None:
-        """Precompile the serving programs for a gallery capacity bucket
-        (idempotent; safe off-thread — jit compiles are host work and JAX
-        tracing/compile is thread-safe)."""
+        """Precompile the serving programs for a gallery capacity bucket.
+
+        Idempotent AND race-free: the first caller claims the capacity
+        (under the lock) and compiles; concurrent callers — e.g. a bulk
+        /reload landing while the background prewarm thread is mid-way
+        through a 40-120 s compile of the same bucket — wait on the
+        claimant's event instead of tracing the whole ladder a second
+        time. A failed warm releases the claim so a later call retries.
+        """
         with self._warm_lock:
-            if cap in self._warm_caps:
-                return
-        arr, scales = self.gallery.dummy_at_capacity(cap)
-        self._warm_serving_programs(arr, 1, scales)
+            ev = self._warm_events.get(cap)
+            if ev is None:
+                ev = threading.Event()
+                self._warm_events[cap] = ev
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            ev.wait()
+            return
+        try:
+            arr, scales = self.gallery.dummy_at_capacity(cap)
+            self._warm_serving_programs(arr, 1, scales)
+        except BaseException:
+            with self._warm_lock:
+                self._warm_events.pop(cap, None)
+            ev.set()
+            raise
         with self._warm_lock:
             self._warm_caps.add(cap)
+        ev.set()
         log.info("serving programs warmed for gallery capacity %d", cap)
 
     def maybe_prewarm_next_bucket(self):
@@ -260,10 +289,10 @@ class FaceServer:
             return None
         nxt = self.gallery.next_capacity()
         with self._warm_lock:
-            if nxt in self._warm_caps:
-                return None
-        if self._prewarm_thread is not None and self._prewarm_thread.is_alive():
-            return self._prewarm_thread
+            # claimed (in progress or done) -> nothing to schedule; a
+            # stale thread warming a DIFFERENT capacity never blocks this
+            if nxt in self._warm_events:
+                return self._prewarm_thread
         t = threading.Thread(target=self._warm_capacity, args=(nxt,),
                              daemon=True, name=f"facekit-prewarm-{nxt}")
         t.start()

@@ -107,19 +107,21 @@ async def run_ws_phase(session, url: str, payloads: List[bytes],
 
 
 async def grow_gallery(session, url: str, crops: List[bytes], tmp_dir: str,
-                       count: int) -> Dict[str, float]:
-    """Insert ``count`` faces (unique crops written to tmp files) and
-    /reload — the bucket-growth event, timed."""
+                       count: int, prefix: str = "lt") -> Dict[str, float]:
+    """Insert ``count`` faces (unique crops written to tmp files, distinct
+    ``prefix`` per phase so userIds never collide) and /reload — the
+    bucket-growth event, timed."""
     import os
     t0 = time.perf_counter()
     for i, body in enumerate(crops[:count]):
-        p = os.path.join(tmp_dir, f"lt_grow_{i}.jpg")
+        p = os.path.join(tmp_dir, f"{prefix}_grow_{i}.jpg")
         with open(p, "wb") as f:
             f.write(body)
-        await session.post(url + "/insert/user", data=json.dumps(
-            {"userId": f"lt{i}", "userName": f"LT {i}"}))
+        async with session.post(url + "/insert/user", data=json.dumps(
+                {"userId": f"{prefix}{i}", "userName": f"LT {i}"})) as r:
+            assert "inserted" in await r.text()   # close + sanity-check
         async with session.post(url + "/insert/face", data=json.dumps(
-                {"data": [{"userId": f"lt{i}", "imgPath": p}]})) as r:
+                {"data": [{"userId": f"{prefix}{i}", "imgPath": p}]})) as r:
             assert "inserted successfully" in await r.text()
     insert_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -154,7 +156,7 @@ async def amain(args) -> Dict:
         # seed the gallery so /recognize has something to match
         with tempfile.TemporaryDirectory() as td:
             await grow_gallery(session, url, crops[n_total:], td,
-                               min(4, args.grow_count))
+                               min(4, args.grow_count), prefix="seed")
         # warm both serving programs once (compile if cold) off the clock
         async with session.post(url + "/recognize", data=crops[0]) as r:
             await r.read()
@@ -178,7 +180,7 @@ async def amain(args) -> Dict:
                 with tempfile.TemporaryDirectory() as td:
                     grow_info = await grow_gallery(
                         session, url, crops[n_total + 4:], td,
-                        args.grow_count - 4)
+                        args.grow_count - 4, prefix="grow")
                 results["grow"] = grow_info
         async with session.get(url + "/metrics") as r:
             results["server_metrics"] = json.loads(await r.text())
@@ -196,8 +198,13 @@ def main(argv=None):
     ap.add_argument("--crop-hw", type=int, nargs=2, default=(112, 112))
     ap.add_argument("--frame-hw", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--grow", action="store_true",
-                    help="insert faces + /reload sized to cross a gallery "
-                         "bucket during the middle phase")
+                    help="insert faces + /reload between the first and "
+                         "second phases. To actually cross a capacity "
+                         "bucket, --grow-count must exceed the server's "
+                         "FIRST gallery bucket (the shipped configs use "
+                         "the default ladder starting at 1024 — serve a "
+                         "config with small gallery_bucket_sizes, e.g. "
+                         "[16, 64, ...], for a growth drill)")
     ap.add_argument("--grow-count", type=int, default=16)
     ap.add_argument("-o", "--out", default=None, help="write JSON here too")
     args = ap.parse_args(argv)

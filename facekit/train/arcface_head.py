@@ -58,25 +58,29 @@ def combined_margin_logits(head: Dict, embeddings: jnp.ndarray,
     "combined margin" of the insightface training recipes.
 
     Degenerate region (m1*theta + m2 > pi, i.e. hard examples near the
-    antipode): instead of clipping the angle — which makes the target
-    logit the CONSTANT -1 - m3 with zero gradient — apply the same
-    linear penalty ``cos - sin(m2)*m2`` that ``arc_margin_logits`` uses,
-    so hard examples keep a training signal. At the (1, m, 0) ArcFace
-    triple this is gradient-equivalent to ``arc_margin_logits``
-    (r2 advisor finding).
+    antipode): for additive-angle triples (m1 == 1), instead of clipping
+    the angle — which makes the target logit the CONSTANT -1 - m3 with
+    zero gradient — apply the same linear penalty ``cos - sin(m2)*m2``
+    that ``arc_margin_logits`` uses, so hard examples keep a training
+    signal; at (1, m, 0) this is gradient-equivalent to
+    ``arc_margin_logits`` (r2 advisor finding). For multiplicative
+    triples (m1 != 1) that penalty would REMOVE the margin and break the
+    target logit's monotonicity in theta (it jumps up at the boundary),
+    so the standard angle clip is kept there — monotone, at the cost of
+    a flat gradient past theta = (pi - m2)/m1.
     """
     w = head["w"]
     wn = w / jnp.linalg.norm(w, axis=1, keepdims=True)
     cos = embeddings @ wn.T                                 # (B, C)
     cos = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos)
-    phi = jnp.cos(m1 * theta + m2) - m3
-    # threshold in cos space: theta > (pi - m2)/m1 <=> cos < cos(...)
-    # (m1 <= 0 or (pi - m2)/m1 >= pi puts the threshold at cos(pi) = -1,
-    # below the clip floor, so the fallback branch is never taken)
-    safe_m1 = max(m1, 1e-6)
-    th = math.cos(min((math.pi - m2) / safe_m1, math.pi))
-    mm = math.sin(m2) * m2
-    phi = jnp.where(cos > th, phi, cos - mm - m3)
+    if m1 == 1.0:
+        phi = jnp.cos(theta + m2) - m3
+        # threshold in cos space: theta + m2 > pi <=> cos < cos(pi - m2)
+        th = math.cos(math.pi - m2)
+        mm = math.sin(m2) * m2
+        phi = jnp.where(cos > th, phi, cos - mm - m3)
+    else:
+        phi = jnp.cos(jnp.clip(m1 * theta + m2, 0.0, math.pi)) - m3
     onehot = jax.nn.one_hot(labels, w.shape[0], dtype=cos.dtype)
     return scale * (onehot * phi + (1.0 - onehot) * cos)

@@ -88,6 +88,31 @@ def test_combined_margin_degenerate_region_keeps_gradient(rng):
     np.testing.assert_allclose(ga, gb, atol=1e-3)
 
 
+def test_sphereface_target_logit_monotone_in_theta():
+    """m1 > 1: the target logit must stay MONOTONE non-increasing in theta
+    through the clip boundary — the r3 review caught that applying the
+    arc-style linear fallback there would jump the logit UP (rewarding
+    harder examples); multiplicative triples keep the angle clip."""
+    from facekit.train.arcface_head import combined_margin_logits
+    m1 = 1.5
+    w = np.zeros((4, 8), np.float32)
+    w[0, 0] = 1.0
+    w[1:, 1:4] = np.eye(3)
+    head = {"w": jnp.asarray(w)}
+    thetas = np.linspace(0.01, np.pi - 0.01, 80)
+    logits = []
+    for t in thetas:
+        e = np.zeros((1, 8), np.float32)
+        e[0, 0] = np.cos(t)
+        e[0, 4] = np.sin(t)          # off-center direction
+        out = combined_margin_logits(head, jnp.asarray(e),
+                                     jnp.asarray([0], jnp.int32),
+                                     m1, 0.0, 0.0, 64.0)
+        logits.append(float(np.asarray(out)[0, 0]))
+    diffs = np.diff(logits)
+    assert (diffs <= 1e-4).all(), diffs.max()
+
+
 def test_sphereface_margin_reduces_target(rng):
     """(m1, 0, 0): multiplicative angular margin lowers the target logit,
     leaves the rest, and keeps gradients finite."""
