@@ -582,22 +582,26 @@ def make_app(server: FaceServer):
         vals = np.asarray(sims)[:n, :, 0]
         idx = np.asarray(gidx)[:n, :, 0]
         valid = np.asarray(res.valid)[:n]
+        masked = np.where(valid, vals, -np.inf)
+        best = masked.argmax(axis=1)                        # (n,)
+        # ONE device gather + ONE transfer for every frame's selected
+        # crop — not the whole (B, F, 112, 112, 3) tensor, and not a
+        # per-frame device slice either (n separate fetches pay n
+        # round trips on remote-attached devices; r3 loadtest)
+        import jax.numpy as jnp
+        sel = jnp.take_along_axis(
+            res.crops[:n], jnp.asarray(best)[:, None, None, None, None],
+            axis=1)[:, 0]
+        crops_u8 = np.clip(np.asarray(sel), 0, 255).astype(np.uint8)
         outs = []
         for i in range(n):
             if not valid[i].any():
                 outs.append(None)
                 continue
-            masked = np.where(valid[i], vals[i], -np.inf)
-            best = int(masked.argmax())
-            user_id = names[int(idx[i, best])]
-            sim = float(vals[i, best])
-            # transfer ONLY the selected crop (a device-side slice), not
-            # the whole (B, F, 112, 112, 3) tensor; JPEG encoding happens
-            # later on the decode pool, off this device thread
-            crop_u8 = np.clip(np.asarray(res.crops[i, best]),
-                              0, 255).astype(np.uint8)
+            user_id = names[int(idx[i, best[i]])]
+            sim = float(vals[i, best[i]])
             outs.append({
-                "crop": crop_u8,
+                "crop": crops_u8[i],
                 "userId": user_id,
                 "userName": server.user_dict.get(user_id, ""),
                 "similarity": sim,
@@ -617,31 +621,80 @@ def make_app(server: FaceServer):
     inference_batcher = MicroBatcher(_inference_batch, server.executor,
                                      bsz, server.batch_wait_ms)
 
+    async def _inference_one(data: bytes) -> str:
+        """One WS frame -> reply string (the reference's per-message
+        semantics, src/app.cpp:289-352)."""
+        with server.metrics.time("inference",
+                                 count=cfg.det_maxFacesPerScene):
+            frame = await run_decode(
+                data, (cfg.input_frameWidth, cfg.input_frameHeight))
+            retval = None
+            if frame is not None:
+                retval = await inference_batcher.submit(frame)
+            if retval is not None:
+                loop = asyncio.get_running_loop()
+                retval = await loop.run_in_executor(
+                    server.decode_pool, _encode_reply, retval)
+        return "null" if retval is None else json.dumps(retval)
+
+    # per-connection in-flight window (facekit extension; default 1 ==
+    # the reference's strictly sequential request/reply loop). A client
+    # streaming frames faster than one RTT (e.g. a camera feed) gets up
+    # to `server_wsPipeline` frames processed CONCURRENTLY — they land
+    # in the micro-batcher together and ride one fused device call —
+    # while replies still go back strictly in message order.
+    ws_window = max(1, int(cfg.extras.get("server_wsPipeline", 1)))
+
     async def inference(request):
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         log.info("Inference socket opened")
-        async for msg in ws:
-            if msg.type in (WSMsgType.BINARY, WSMsgType.TEXT):
-                data = (msg.data if isinstance(msg.data, (bytes, bytearray))
-                        else msg.data.encode("latin-1"))
-                with server.metrics.time(
-                        "inference", count=cfg.det_maxFacesPerScene):
-                    frame = await run_decode(
-                        data, (cfg.input_frameWidth, cfg.input_frameHeight))
-                    retval = None
-                    if frame is not None:
-                        retval = await inference_batcher.submit(frame)
-                    if retval is not None:
-                        loop = asyncio.get_running_loop()
-                        retval = await loop.run_in_executor(
-                            server.decode_pool, _encode_reply, retval)
-                if retval is None:
-                    await ws.send_str("null")
-                else:
-                    await ws.send_str(json.dumps(retval))
-            elif msg.type == WSMsgType.ERROR:
-                break
+        if ws_window == 1:
+            async for msg in ws:
+                if msg.type in (WSMsgType.BINARY, WSMsgType.TEXT):
+                    data = (msg.data
+                            if isinstance(msg.data, (bytes, bytearray))
+                            else msg.data.encode("latin-1"))
+                    await ws.send_str(await _inference_one(data))
+                elif msg.type == WSMsgType.ERROR:
+                    break
+            log.info("Inference socket closed")
+            return ws
+
+        # pipelined: reader admits up to ws_window concurrent frames;
+        # a single sender drains completed replies in arrival order
+        replies: asyncio.Queue = asyncio.Queue()
+        sem = asyncio.Semaphore(ws_window)
+
+        async def process(data: bytes) -> str:
+            try:
+                return await _inference_one(data)
+            finally:
+                sem.release()
+
+        async def sender():
+            while True:
+                task = await replies.get()
+                if task is None:
+                    return
+                await ws.send_str(await task)
+
+        sender_task = asyncio.create_task(sender())
+        try:
+            async for msg in ws:
+                if msg.type in (WSMsgType.BINARY, WSMsgType.TEXT):
+                    data = (msg.data
+                            if isinstance(msg.data, (bytes, bytearray))
+                            else msg.data.encode("latin-1"))
+                    await sem.acquire()
+                    replies.put_nowait(asyncio.create_task(process(data)))
+                elif msg.type == WSMsgType.ERROR:
+                    break
+            replies.put_nowait(None)
+            await sender_task
+        finally:
+            if not sender_task.done():
+                sender_task.cancel()
         log.info("Inference socket closed")
         return ws
 

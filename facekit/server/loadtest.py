@@ -83,24 +83,33 @@ async def run_http_phase(session, url: str, payloads: List[bytes],
 
 
 async def run_ws_phase(session, url: str, payloads: List[bytes],
-                       concurrency: int) -> Dict[str, float]:
-    """WS /inference: one socket per worker, one in-flight frame each
-    (the reference client's request/reply protocol, src/webclient.cpp)."""
+                       concurrency: int, depth: int = 1) -> Dict[str, float]:
+    """WS /inference: one socket per worker. ``depth`` = frames in flight
+    per socket (1 == the reference client's request/reply protocol,
+    src/webclient.cpp; >1 models a streaming camera feed and requires
+    the server's ``server_wsPipeline`` window to actually overlap)."""
+    from collections import deque
     times: List[float] = []
     it = iter(payloads)
 
     async def worker():
         ws_url = url.replace("http", "ws", 1) + "/inference"
         async with session.ws_connect(ws_url, max_msg_size=64 << 20) as ws:
+            inflight: deque = deque()
+            exhausted = False
             while True:
-                try:
-                    body = next(it)
-                except StopIteration:
+                while not exhausted and len(inflight) < depth:
+                    try:
+                        body = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    await ws.send_bytes(body)
+                    inflight.append(time.perf_counter())
+                if not inflight:
                     return
-                t0 = time.perf_counter()
-                await ws.send_bytes(body)
                 await ws.receive()
-                times.append(time.perf_counter() - t0)
+                times.append(time.perf_counter() - inflight.popleft())
 
     await asyncio.gather(*[worker() for _ in range(concurrency)])
     return _percentiles(times)
@@ -168,7 +177,8 @@ async def amain(args) -> Dict:
             http_stats = await run_http_phase(
                 session, url, crops[off:off + n], c)
             ws_stats = await run_ws_phase(
-                session, url, frames[off:off + n], c)
+                session, url, frames[off:off + n], c,
+                depth=args.ws_pipeline)
             phase = {"concurrency": c, "http_recognize": http_stats,
                      "ws_inference": ws_stats}
             results["phases"].append(phase)
@@ -206,6 +216,9 @@ def main(argv=None):
                          "config with small gallery_bucket_sizes, e.g. "
                          "[16, 64, ...], for a growth drill)")
     ap.add_argument("--grow-count", type=int, default=16)
+    ap.add_argument("--ws-pipeline", type=int, default=1,
+                    help="frames in flight per WS socket (>1 needs the "
+                         "server's extras.server_wsPipeline window)")
     ap.add_argument("-o", "--out", default=None, help="write JSON here too")
     args = ap.parse_args(argv)
 

@@ -292,6 +292,57 @@ async def test_bucket_growth_through_serving_flow(tmp_path_factory, rng):
     np.testing.assert_allclose(vals[:, 0], 1.0, rtol=1e-5)
 
 
+async def test_ws_pipeline_window_preserves_order(tmp_path_factory, rng):
+    """extras.server_wsPipeline > 1: frames on ONE socket process
+    concurrently (they batch into one fused device call) but replies come
+    back strictly in message order. Verified by matching each reply's
+    deterministic similarity to per-frame sequential ground truth."""
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("wsp") / "wsp.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False,
+        det_threshold_bbox=0.0,      # random weights must yield detections
+        extras={"server_batchSize": 4, "server_wsPipeline": 4})
+    from facekit.models.lightdet import lightdet_init
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    emb = rng.normal(size=(3, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    srv.gallery.load(["a", "b", "c"], emb)
+
+    frames = []
+    for i in range(8):
+        img = rng.integers(0, 256, size=(120, 160, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        frames.append(buf.tobytes())
+
+    async with make_client(srv) as client:
+        # ground truth: sequential request/reply per frame
+        ws = await client.ws_connect("/inference")
+        expected = []
+        for f in frames:
+            await ws.send_bytes(f)
+            expected.append((await ws.receive_str()))
+        await ws.close()
+        assert any(e != "null" for e in expected)  # detections exist
+
+        # pipelined: fire all 8 without reading, then read 8 replies
+        ws = await client.ws_connect("/inference")
+        for f in frames:
+            await ws.send_bytes(f)
+        got = [await ws.receive_str() for _ in frames]
+        await ws.close()
+
+    def sim(reply):
+        return None if reply == "null" else round(
+            json.loads(reply)["similarity"], 5)
+    assert [sim(g) for g in got] == [sim(e) for e in expected], \
+        "pipelined replies out of order or wrong"
+
+
 async def test_bucket_growth_never_recompiles_on_serving_path(
         tmp_path_factory, tmp_path, rng):
     """VERDICT r2 weak #1: crossing a gallery capacity bucket must NOT
