@@ -56,12 +56,8 @@ def _quant_meta(pipeline) -> Dict[str, Any]:
     can't tell why a params tree mismatches until an opaque pytree
     structure error (r2 advisor finding)."""
     quantized = bool(getattr(pipeline.config, "rec_quantize", False))
-    calibrated = False
-    if quantized:
-        try:
-            calibrated = "ascale" in pipeline.rec_params["input"]["conv"]
-        except (KeyError, TypeError):
-            calibrated = False
+    conv = pipeline.rec_params.get("input", {}).get("conv", None)
+    calibrated = quantized and isinstance(conv, dict) and "ascale" in conv
     return {"rec_quantize": quantized, "rec_calibrated": calibrated}
 
 

@@ -649,20 +649,10 @@ def make_app(server: FaceServer):
         ws = web.WebSocketResponse()
         await ws.prepare(request)
         log.info("Inference socket opened")
-        if ws_window == 1:
-            async for msg in ws:
-                if msg.type in (WSMsgType.BINARY, WSMsgType.TEXT):
-                    data = (msg.data
-                            if isinstance(msg.data, (bytes, bytearray))
-                            else msg.data.encode("latin-1"))
-                    await ws.send_str(await _inference_one(data))
-                elif msg.type == WSMsgType.ERROR:
-                    break
-            log.info("Inference socket closed")
-            return ws
-
-        # pipelined: reader admits up to ws_window concurrent frames;
-        # a single sender drains completed replies in arrival order
+        # one mechanism for both modes: the reader admits up to ws_window
+        # concurrent frames (window 1 == the reference's sequential
+        # request/reply loop); a single sender drains completed replies
+        # strictly in arrival order
         replies: asyncio.Queue = asyncio.Queue()
         sem = asyncio.Semaphore(ws_window)
 
