@@ -92,6 +92,41 @@ def test_select_faces_fuzz_vs_oracle(seed):
                                ref_boxes[:nv], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_nms_streaming_fuzz_vs_oracle(seed):
+    """Streaming chunked greedy (the exactness fallback) vs the reference
+    oracle across random crowds, chunk sizes, thresholds, and masked
+    fractions — crowds sized to cross several chunk boundaries."""
+    from facekit.ops.boxes import nms_streaming
+    rng = np.random.default_rng(500 + seed)
+    n = int(rng.integers(50, 900))
+    chunk = int(rng.choice([32, 64, 128, 256]))
+    k_clusters = int(rng.integers(1, 7))
+    centers = rng.uniform(60, 420, size=(k_clusters, 2))
+    c = centers[rng.integers(0, k_clusters, size=n)] + \
+        rng.normal(0, 12, size=(n, 2))
+    sz = rng.uniform(15, 100, size=(n, 2))
+    boxes = np.concatenate([c - sz / 2, c + sz / 2], 1).astype(np.float32)
+    scores = (0.5 + rng.integers(0, 200, size=n) * 1e-3).astype(np.float32)
+    scores[rng.uniform(size=n) < rng.uniform(0, 0.5)] = -np.inf
+    thr = float(rng.uniform(0.25, 0.6))
+
+    valid = scores > -np.inf
+    ref_boxes, ref_scores = _nms_oracle(boxes[valid], scores[valid], thr)
+    sb, ss, keep, order = nms_streaming(jnp.asarray(boxes),
+                                        jnp.asarray(scores), thr,
+                                        chunk=chunk)
+    kept = np.asarray(keep)
+    got_scores = np.asarray(ss)[kept]
+    got_boxes = np.asarray(sb)[kept]
+    assert len(got_scores) == len(ref_scores), (seed, n, chunk)
+    np.testing.assert_allclose(got_scores, ref_scores, rtol=1e-6)
+    np.testing.assert_allclose(got_boxes, ref_boxes, rtol=1e-5)
+    # order indices point at the right anchors
+    np.testing.assert_allclose(
+        np.asarray(boxes)[np.asarray(order)[kept]], ref_boxes, rtol=1e-5)
+
+
 @pytest.mark.parametrize("seed", range(5))
 def test_warp_fuzz_random_similarity(seed, reference_dir):
     """Shear warp vs the exact gather warp at arbitrary random rotations,
