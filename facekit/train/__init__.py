@@ -5,6 +5,7 @@ from facekit.train.arcface_head import (  # noqa: F401
 )
 from facekit.train.step import (  # noqa: F401
     TrainState,
+    make_optimizer,
     make_train_step,
     train_state_init,
     train_shardings,

@@ -29,16 +29,45 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(lr: float = 0.1, momentum: float = 0.9):
-    return optax.sgd(lr, momentum=momentum)
+def make_optimizer(lr: float = 0.1, momentum: float = 0.9,
+                   weight_decay: float = 0.0, schedule=None,
+                   warmup_steps: int = 0, total_steps: int = 0):
+    """SGD+momentum with the standard ArcFace-recipe extras.
+
+    ``schedule``: None = constant ``lr``; ``"cosine"`` = linear warmup
+    over ``warmup_steps`` then cosine decay to 0 at ``total_steps`` (the
+    insightface fine-tune recipe); or any optax schedule callable.
+    ``weight_decay`` applies only to rank>=2 leaves (conv/linear/head
+    kernels) — BN scales/biases and PReLU slopes are excluded, the
+    conventional mask.
+    """
+    if callable(schedule):
+        sched = schedule
+    elif schedule == "cosine":
+        if total_steps <= 0:
+            raise ValueError("cosine schedule needs total_steps > 0")
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, max(warmup_steps, 1), total_steps)
+    elif schedule is None:
+        sched = lr
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    tx = optax.sgd(sched, momentum=momentum)
+    if weight_decay:
+        mask = lambda tree: jax.tree.map(lambda p: jnp.ndim(p) >= 2, tree)
+        tx = optax.chain(optax.add_decayed_weights(weight_decay, mask), tx)
+    return tx
 
 
 def train_state_init(key, num_classes: int, network: str = "ir_50",
-                     lr: float = 0.1) -> TrainState:
+                     lr: float = 0.1, **opt_kwargs) -> TrainState:
+    """``opt_kwargs`` (weight_decay/schedule/warmup_steps/total_steps)
+    must match the ones given to ``make_train_step`` — both construct the
+    same optimizer, state here, update rule there."""
     k1, k2 = jax.random.split(key)
     params = arcface_init(k1, network=network)
     head = head_init(k2, num_classes)
-    tx = make_optimizer(lr)
+    tx = make_optimizer(lr, **opt_kwargs)
     opt_state = tx.init((params, head))
     return TrainState(params, head, opt_state, jnp.zeros((), jnp.int32))
 
@@ -65,7 +94,7 @@ def train_shardings(state: TrainState, mesh: Mesh,
 
 def make_train_step(network: str = "ir_50", lr: float = 0.1,
                     margin: float = 0.5, scale: float = 64.0,
-                    remat: bool = False, margins=None):
+                    remat: bool = False, margins=None, **opt_kwargs):
     """``remat=True`` rematerializes the backbone forward in the backward
     pass (jax.checkpoint), trading ~1.3x FLOPs for activation memory —
     needed for large batches of IR-101/152 on one chip.
@@ -74,8 +103,12 @@ def make_train_step(network: str = "ir_50", lr: float = 0.1,
     combined margin (SphereFace/ArcFace/CosFace — see
     combined_margin_logits); default None keeps the classic additive
     angular margin head with ``margin``.
+
+    ``opt_kwargs``: forwarded to ``make_optimizer`` (weight_decay,
+    schedule="cosine", warmup_steps, total_steps) — pass the SAME values
+    to ``train_state_init`` so the opt state matches the update rule.
     """
-    tx = make_optimizer(lr)
+    tx = make_optimizer(lr, **opt_kwargs)
 
     backbone = functools.partial(arcface_apply, network=network,
                                  dtype=jnp.float32)

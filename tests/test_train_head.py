@@ -113,6 +113,50 @@ def test_sphereface_target_logit_monotone_in_theta():
     assert (diffs <= 1e-4).all(), diffs.max()
 
 
+def test_train_step_cosine_schedule_and_weight_decay():
+    """The insightface-recipe extras: warmup-cosine LR + masked weight
+    decay. The schedule must actually move (warmup then decay to ~0 at
+    total_steps), decay must touch only rank>=2 leaves, and the full
+    train step stays finite."""
+    import optax
+    from facekit.train import make_optimizer, make_train_step, \
+        train_state_init
+
+    kw = dict(weight_decay=5e-4, schedule="cosine", warmup_steps=2,
+              total_steps=8)
+    state = train_state_init(jax.random.PRNGKey(0), 8, network="ir_tiny",
+                             lr=0.1, **kw)
+    step = make_train_step(network="ir_tiny", lr=0.1, **kw)
+    local = np.random.default_rng(3)
+    imgs = jnp.asarray(local.normal(0, 1, (2, 112, 112, 3)).astype(np.float32))
+    lbls = jnp.asarray([1, 2], jnp.int32)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, imgs, lbls)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 8
+
+    # the schedule itself: warmup then cosine to 0
+    sched = optax.warmup_cosine_decay_schedule(0.0, 0.1, 2, 8)
+    assert float(sched(0)) < float(sched(2))          # warmup rises
+    assert float(sched(8)) < 1e-6                      # decayed to ~0
+
+    # decay mask: BN/PReLU (rank 1) excluded, conv kernels (rank 4) in
+    # (constant lr here: the cosine schedule's step-0 lr is 0, which
+    # would zero every update and hide the mask)
+    tx = make_optimizer(0.1, weight_decay=5e-4)
+    params = (state.params, state.head)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    opt_state = tx.init(params)
+    updates, _ = tx.update(zero_grads, opt_state, params)
+    upd_backbone, _ = updates
+    conv_upd = np.asarray(upd_backbone["input"]["conv"])
+    prelu_upd = np.asarray(upd_backbone["input"]["prelu"])
+    assert np.abs(conv_upd).max() > 0          # decayed (nonzero update)
+    assert np.abs(prelu_upd).max() == 0        # masked out
+
+
 def test_sphereface_margin_reduces_target(rng):
     """(m1, 0, 0): multiplicative angular margin lowers the target logit,
     leaves the rest, and keeps gradients finite."""
