@@ -226,3 +226,29 @@ async def test_metrics_expose_batch_sizes(tmp_path_factory, rng):
         assert 1.0 <= m["recognize"]["mean_batch_size"] <= 6.0
     finally:
         await client.close()
+
+
+def test_loadtest_payloads_unique_and_decodable():
+    """The loadtest methodology depends on every payload being UNIQUE
+    (the dev-TPU tunnel serves identical remote executions from cache) and
+    surviving JPEG compression as distinct images."""
+    import cv2
+    from facekit.server.loadtest import make_payloads
+
+    payloads = make_payloads(64, (120, 160), seed=7)
+    assert len(set(payloads)) == 64            # unique encoded bytes
+    decoded = []
+    for p in payloads[:16]:
+        img = cv2.imdecode(np.frombuffer(p, np.uint8), cv2.IMREAD_COLOR)
+        assert img is not None and img.shape == (120, 160, 3)
+        decoded.append(img.tobytes())
+    assert len(set(decoded)) == 16             # still distinct after codec
+
+
+def test_loadtest_percentiles():
+    from facekit.server.loadtest import _percentiles
+    stats = _percentiles([0.010, 0.020, 0.030, 0.040])
+    assert stats["n"] == 4
+    assert abs(stats["p50_ms"] - 25.0) < 1e-6
+    assert stats["p99_ms"] <= 40.0 + 1e-6
+    assert abs(stats["mean_ms"] - 25.0) < 1e-6
