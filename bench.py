@@ -328,6 +328,33 @@ def main():
         except Exception as e:  # pragma: no cover - bench resilience
             _log(f"batch-64 section skipped: {e}")
 
+        # batch-32 ladder point (between the latency and throughput
+        # knees; completes the README batch ladder). Failure-tolerant.
+        try:
+            _log("profiling batch-32 device time (bf16 + calibrated int8)...")
+            fb32 = np.concatenate([fb ^ np.uint8(k + 16) for k in range(4)])
+            fbs32 = [np.roll(fb32, j + 3, axis=0).copy() for j in range(5)]
+            for j, f in enumerate(fbs32):
+                f[0, 2, 2, 0] ^= np.uint8(j + 1)
+            warm32 = np.roll(fb32, 9, axis=0).copy()
+            warm32[0, 4, 4, 0] ^= 1
+            pipe.recognize_frames(warm32).embeddings.block_until_ready()
+            dev32 = device_time_per_call(
+                lambda j: pipe.recognize_frames(fbs32[j]).embeddings, 5)
+            if dev32:
+                extra["batch32_device_ms"] = dev32 * 1e3
+                extra["batch32_device_slots_per_sec"] = (
+                    cfg.det_maxFacesPerScene * 32 / dev32)
+            pipe_q.recognize_frames(warm32).embeddings.block_until_ready()
+            dev32q = device_time_per_call(
+                lambda j: pipe_q.recognize_frames(fbs32[j]).embeddings, 5)
+            if dev32q:
+                extra["batch32_int8_calibrated_device_ms"] = dev32q * 1e3
+                extra["batch32_int8_calibrated_slots_per_sec"] = (
+                    cfg.det_maxFacesPerScene * 32 / dev32q)
+        except Exception as e:  # pragma: no cover - bench resilience
+            _log(f"batch-32 section skipped: {e}")
+
         # detection-only at 640x640 (BASELINE.json config #2: RetinaFace
         # anchor decode + landmarks + NMS at the square high-res input)
         try:
