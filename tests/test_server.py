@@ -126,6 +126,50 @@ async def test_delete_endpoints(face_server):
         assert face_server.gallery.count == 0
 
 
+async def test_delete_then_reload_removes_identity(face_server, tmp_path,
+                                                   rng):
+    """Full lifecycle: two enrolled identities; deleting one (user + its
+    face rows) and /reload-ing must remove it from the live gallery and
+    flip /recognize to the survivor — the reference's own deleteFace
+    silently never deleted (src/db.cpp:172); facekit's must actually
+    work end to end, not just return 'Success'."""
+    async with make_client(face_server) as client:
+        datas = {}
+        for uid in ("keep", "drop"):
+            data, _ = _jpg(rng, hw=(112, 112))
+            datas[uid] = data
+            p = tmp_path / f"{uid}.jpg"
+            p.write_bytes(data)
+            await client.post("/insert/user", data=json.dumps(
+                {"userId": uid, "userName": uid}))
+            r = await client.post("/insert/face", data=json.dumps(
+                {"data": [{"userId": uid, "imgPath": str(p)}]}))
+            assert "inserted successfully" in await r.text()
+        await client.get("/reload")
+        n0 = face_server.gallery.count
+        assert "drop" in face_server.gallery.names
+
+        # delete drop's face rows by id, then the user, then reload
+        with face_server.db._lock:
+            ids = [row[0] for row in face_server.db._conn.execute(
+                "SELECT IMG_ID FROM FACE WHERE USR_ID='drop'")]
+        for fid in ids:
+            r = await client.get("/delete/face", params={"id": str(fid)})
+            assert await r.text() == "Success\n"
+        await client.get("/delete/user", params={"id": "drop"})
+        await client.get("/reload")
+        assert face_server.gallery.count == n0 - len(ids)
+        assert "drop" not in face_server.gallery.names
+
+        # the survivor still recognizes; the deleted identity cannot match
+        r = await client.post("/recognize", data=datas["keep"])
+        body = json.loads(await r.text())
+        assert body["userId"] == "keep"
+        r = await client.post("/recognize", data=datas["drop"])
+        body = json.loads(await r.text())
+        assert body["userId"] != "drop"
+
+
 async def test_inference_ws(face_server, tmp_path, rng):
     async with make_client(face_server) as client:
         # enroll one gallery face first
