@@ -62,13 +62,18 @@ def _quant_meta(pipeline) -> Dict[str, Any]:
 
 
 def export_recognize_engine(pipeline, batch_size: int,
-                            platforms: Optional[Sequence[str]] = None):
+                            platforms: Optional[Sequence[str]] = None,
+                            return_crops: bool = False):
     """Export the fused detect->align->embed program at a fixed batch.
 
     Returns (serialized bytes, metadata dict). ``pipeline`` is a
     FacePipeline; its static config (shapes, thresholds, network choices)
     is frozen into the artifact, exactly like engine-build-time flags in
     the reference's conversion step (conversion/*/torch2trt.py).
+
+    ``return_crops`` adds the aligned per-face crops as a fifth output —
+    the WS /inference reply needs them (the base64 "image" field), so
+    server-consumable engines are exported with crops (the CLI default).
     """
     from facekit.pipeline.recognize import _recognize_frames
 
@@ -84,9 +89,10 @@ def export_recognize_engine(pipeline, batch_size: int,
             iou_thr=cfg.det_threshold_nms,
             use_landmarks=pipeline.use_landmarks, align=pipeline.align,
             rec_network=cfg.rec_network, dtype=pipeline.dtype,
-            return_crops=False, det_network=pipeline.det_network,
+            return_crops=return_crops, det_network=pipeline.det_network,
             nms_top_k=cfg.det_nmsTopK, nms_exact=cfg.det_nmsExact)
-        return res.boxes, res.scores, res.valid, res.embeddings
+        out = (res.boxes, res.scores, res.valid, res.embeddings)
+        return out + ((res.crops,) if return_crops else ())
 
     args = (_sds_tree(pipeline.det_params), _sds_tree(pipeline.rec_params),
             jax.ShapeDtypeStruct((batch_size, fh, fw, 3), jnp.uint8))
@@ -101,6 +107,7 @@ def export_recognize_engine(pipeline, batch_size: int,
         "det_network": pipeline.det_network,
         "rec_network": cfg.rec_network,
         "compute_dtype": cfg.compute_dtype,
+        "return_crops": bool(return_crops),
         "platforms": list(exp.platforms),
         **_quant_meta(pipeline),
     }
@@ -286,6 +293,81 @@ def load_engine(path: str) -> Tuple[Any, Dict[str, Any]]:
     return exported.call, meta
 
 
+def _check_meta(path: str, meta: Dict[str, Any], field: str,
+                expect: Any) -> None:
+    got = meta.get(field)
+    if got != expect:
+        raise ValueError(
+            f"{path}: engine was built with {field}={got!r} but the serving "
+            f"config needs {expect!r}; re-export with `python -m "
+            f"facekit.engine export` from this config")
+
+
+def load_serving_engines(engines_dir: str, config,
+                         pipeline) -> Dict[str, Dict[int, Any]]:
+    """Load + validate a directory of exported engines for the server.
+
+    The reference's startup model: the serving process boots FROM the
+    offline toolchain's artifacts (``deserializeCudaEngine``,
+    ``src/arcface.cpp:45-69`` / ``src/retinaface.cpp:31-55``) — seconds to
+    serving, no in-process model (re)building. This is the facekit analog:
+    every ``recognize*.fke`` / ``embed*.fke`` in ``engines_dir`` is
+    checked against the serving config's frozen geometry, network choices
+    and quantization state, and a mismatched artifact refuses loudly at
+    startup instead of surfacing as garbage outputs later (the reference
+    has NO such check — a stale .engine silently serves wrong shapes).
+
+    Returns ``{"recognize": {batch: callable}, "embed": {batch: callable}}``
+    keyed by the batch sizes found; callables are jit-wrapped so repeat
+    calls hit the executable cache. Identify engines (multi-chip
+    deployment artifacts) are skipped. Whether the found batches cover the
+    server's ladder is the caller's policy.
+    """
+    quant = _quant_meta(pipeline)
+    cfg = config
+    backend = jax.default_backend()
+    found: Dict[str, Dict[int, Any]] = {"recognize": {}, "embed": {}}
+    for fname in sorted(os.listdir(engines_dir)):
+        if not fname.endswith(".fke"):
+            continue
+        path = os.path.join(engines_dir, fname)
+        call, meta = load_engine(path)
+        program = meta.get("program")
+        if program == "identify":
+            continue      # multi-chip deployment artifact, not server food
+        if program not in ("recognize", "embed"):
+            raise ValueError(f"{path}: unknown engine program {program!r}")
+        plats = meta.get("platforms")
+        if plats and backend not in plats:
+            raise ValueError(
+                f"{path}: engine was exported for platforms {plats} but "
+                f"this server runs on {backend!r}; re-export with "
+                f"--platforms {backend} (or tpu,cpu)")
+        _check_meta(path, meta, "rec_network", cfg.rec_network)
+        _check_meta(path, meta, "compute_dtype", cfg.compute_dtype)
+        _check_meta(path, meta, "rec_quantize", quant["rec_quantize"])
+        _check_meta(path, meta, "rec_calibrated", quant["rec_calibrated"])
+        if program == "recognize":
+            _check_meta(path, meta, "frame_hw", list(cfg.frame_hw))
+            _check_meta(path, meta, "max_faces", cfg.det_maxFacesPerScene)
+            _check_meta(path, meta, "det_network", pipeline.det_network)
+            if not meta.get("return_crops"):
+                raise ValueError(
+                    f"{path}: recognize engine was exported without the "
+                    "crops output (--no-crops); the server's WS /inference "
+                    "reply needs the aligned crop — re-export without "
+                    "--no-crops")
+        else:
+            _check_meta(path, meta, "rec_hw", list(cfg.rec_hw))
+        b = int(meta["batch_size"])
+        if b in found[program]:
+            raise ValueError(
+                f"{path}: duplicate {program} engine for batch {b} in "
+                f"{engines_dir}")
+        found[program][b] = jax.jit(call)
+    return found
+
+
 def main(argv=None) -> None:
     import argparse
 
@@ -299,7 +381,14 @@ def main(argv=None) -> None:
     ex = sub.add_parser("export")
     ex.add_argument("-c", "--config", default=None)
     ex.add_argument("-o", "--out-dir", default="engines")
-    ex.add_argument("-b", "--batch-size", type=int, default=8)
+    ex.add_argument("-b", "--batch-size", default="8",
+                    help="batch size, or comma list matching the server's "
+                         "server_batchBuckets ladder (e.g. '8,64'): one "
+                         "recognize/embed engine pair per bucket")
+    ex.add_argument("--no-crops", action="store_true",
+                    help="recognize engines omit the per-face crops output "
+                         "(smaller transfers; NOT loadable by the server's "
+                         "WS path, which needs the crop for its reply)")
     ex.add_argument("--platforms", default="tpu,cpu",
                     help="comma list (default tpu,cpu: one artifact "
                          "deploys on either; 'native' = current platform "
@@ -335,17 +424,25 @@ def main(argv=None) -> None:
              else args.platforms.split(","))
 
     os.makedirs(args.out_dir, exist_ok=True)
-    blob, meta = export_recognize_engine(pipe, args.batch_size, plats)
-    save_engine(os.path.join(args.out_dir, "recognize.fke"), blob, meta)
-    print(f"recognize.fke: {len(blob)} bytes {meta}")
-    blob, meta = export_embed_engine(pipe, args.batch_size, plats)
-    save_engine(os.path.join(args.out_dir, "embed.fke"), blob, meta)
-    print(f"embed.fke: {len(blob)} bytes {meta}")
+    batches = sorted({int(b) for b in str(args.batch_size).split(",")})
+    for b in batches:
+        # one engine pair per batch bucket; the bare name (single-batch
+        # export) stays the documented artifact name
+        sfx = "" if len(batches) == 1 else f".b{b}"
+        blob, meta = export_recognize_engine(
+            pipe, b, plats, return_crops=not args.no_crops)
+        save_engine(os.path.join(args.out_dir, f"recognize{sfx}.fke"),
+                    blob, meta)
+        print(f"recognize{sfx}.fke: {len(blob)} bytes {meta}")
+        blob, meta = export_embed_engine(pipe, b, plats)
+        save_engine(os.path.join(args.out_dir, f"embed{sfx}.fke"),
+                    blob, meta)
+        print(f"embed{sfx}.fke: {len(blob)} bytes {meta}")
     if args.identify_mesh:
         shape = {k: int(v) for k, v in
                  (kv.split("=") for kv in args.identify_mesh.split(","))}
         mesh = topology_mesh(shape, args.topology)
-        blob, meta = export_identify_engine(pipe, args.batch_size,
+        blob, meta = export_identify_engine(pipe, batches[-1],
                                             args.gallery_rows, mesh=mesh)
         save_engine(os.path.join(args.out_dir, "identify.fke"), blob, meta)
         print(f"identify.fke: {len(blob)} bytes {meta}")

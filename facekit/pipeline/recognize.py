@@ -293,6 +293,31 @@ def _embed_and_match(rec_params, gallery, count, imgs, *, rec_network,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("k", "use_pallas", "mesh", "gallery_axis",
+                     "data_axis", "interpret"))
+def _match_flat(gallery, count, flat, *, k, use_pallas, gallery_scale=None,
+                mesh=None, gallery_axis="gallery", data_axis="data",
+                interpret=False):
+    """Standalone jitted gallery match: (..., D) f32 queries -> (vals, idx)
+    with the same leading dims + (k,).
+
+    The engine-served path's second dispatch: exported ``recognize``/
+    ``embed`` engines produce embeddings (the reference's engines also
+    stop there — featureMatching is app code, src/arcface.cpp:188-201);
+    this program completes the identification without the embeddings ever
+    leaving the device (the engine's outputs feed straight in as jax
+    Arrays, and the (B, F, D) -> (B*F, D) flatten happens in-program)."""
+    lead = flat.shape[:-1]
+    q = flat.reshape(-1, flat.shape[-1])
+    vals, idx = _match_queries(gallery, gallery_scale, q, count, k=k,
+                               use_pallas=use_pallas, mesh=mesh,
+                               gallery_axis=gallery_axis, data_axis=data_axis,
+                               interpret=interpret)
+    return vals.reshape(*lead, -1), idx.reshape(*lead, -1)
+
+
+@functools.partial(
     jax.jit, static_argnames=("rec_hw", "rec_network", "dtype"))
 def _embed_cropped(rec_params, img, *, rec_hw, rec_network, dtype):
     """(H, W, 3) BGR already-cropped face -> (512,). Resizes if needed on
@@ -443,6 +468,20 @@ class FacePipeline:
             jnp.asarray(imgs_bgr), rec_network=self.config.rec_network,
             dtype=self.dtype, k=k, use_pallas=use_pallas,
             gallery_scale=gallery_scale, mesh=mesh,
+            gallery_axis=gallery_axis, data_axis=data_axis,
+            interpret=interpret)
+
+    def match_flat(self, flat_embeddings, gallery_arr, count: int,
+                   k: int = 1, use_pallas: bool = False, gallery_scale=None,
+                   mesh=None, gallery_axis: str = "gallery",
+                   data_axis: str = "data", interpret: bool = False):
+        """Gallery match only: (..., D) embeddings -> (sims (..., k), idx).
+
+        Completes an engine-served identification (the engines produce
+        embeddings; this is the featureMatching stage, kept on-device)."""
+        return _match_flat(
+            gallery_arr, jnp.int32(count), flat_embeddings, k=k,
+            use_pallas=use_pallas, gallery_scale=gallery_scale, mesh=mesh,
             gallery_axis=gallery_axis, data_axis=data_axis,
             interpret=interpret)
 

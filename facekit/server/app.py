@@ -99,7 +99,7 @@ class FaceServer:
     """Wires config -> models -> pipeline -> gallery -> db (src/app.cpp:12-106)."""
 
     def __init__(self, config, det_params=None, rec_params=None,
-                 warmup: bool = True):
+                 warmup: bool = True, engines_dir: Optional[str] = None):
         import jax
         from facekit.db import Database
         from facekit.gallery import GalleryStore
@@ -185,6 +185,39 @@ class FaceServer:
         self.batch_buckets = sorted(set(buckets))
         self.batch_size = self.batch_buckets[-1]
         self.batch_wait_ms = float(config.extras.get("server_batchWaitMs", 3.0))
+        # engine-served mode (reference startup model: the serving process
+        # boots FROM the offline toolchain's artifacts — src/arcface.cpp:
+        # 45-69). With an engines dir the hot-path programs come from
+        # .fke files (no in-process trace); only the small gallery-match
+        # program stays jit, which also makes bucket growth cheap: the
+        # big detect+embed programs are gallery-independent and never
+        # recompile.
+        engines_dir = engines_dir or config.extras.get("server_enginesDir")
+        self.engines = None
+        self._engines_warmed = False
+        if engines_dir:
+            if mesh is not None:
+                raise ValueError(
+                    "server_enginesDir with mesh_shape is unsupported: "
+                    "recognize/embed engines are single-device artifacts "
+                    "(multi-chip serving uses the jit path, or an "
+                    "identify.fke deployed standalone)")
+            from facekit.engine import load_serving_engines
+            self.engines = load_serving_engines(engines_dir, config,
+                                                self.pipeline)
+            missing = [b for b in self.batch_buckets
+                       if b not in self.engines["recognize"]
+                       or b not in self.engines["embed"]]
+            if missing:
+                have = sorted(set(self.engines["recognize"])
+                              & set(self.engines["embed"]))
+                raise ValueError(
+                    f"{engines_dir}: no engine pair for batch bucket(s) "
+                    f"{missing} (pairs found: {have}); export the full "
+                    f"ladder with `python -m facekit.engine export -b "
+                    f"{','.join(map(str, self.batch_buckets))}`")
+            log.info("serving from engines in %s (batch buckets %s)",
+                     engines_dir, self.batch_buckets)
         # live-profiling hook (facekit extension; the reference has no
         # tracing at all, SURVEY.md §5.1): with "profiler_port" set, a
         # TensorBoard/xprof client can attach to the running server and
@@ -206,12 +239,15 @@ class FaceServer:
             rh, rw = config.rec_hw
             fh, fw = config.frame_hw
             self._warm_serving_programs(snap.arr, snap.count, snap.scales)
-            # /insert/face paths: cropped -> embed_cropped; uncropped ->
-            # the single-frame detect pipeline
-            self.pipeline.embed_cropped(np.zeros((rh, rw, 3), np.uint8))
-            if not config.api_imgIsCropped:
-                self.pipeline.recognize_frame(
-                    np.zeros((fh, fw, 3), np.uint8))
+            if self.engines is None:
+                # /insert/face paths: cropped -> embed_cropped; uncropped
+                # -> the single-frame detect pipeline. Engine-served boots
+                # skip these (enrollment is not the hot path; it compiles
+                # lazily on first use, usually out of the persistent cache)
+                self.pipeline.embed_cropped(np.zeros((rh, rw, 3), np.uint8))
+                if not config.api_imgIsCropped:
+                    self.pipeline.recognize_frame(
+                        np.zeros((fh, fw, 3), np.uint8))
             cap0 = self.gallery.capacity
             self._warm_caps.add(cap0)
             ev0 = threading.Event()
@@ -226,8 +262,31 @@ class FaceServer:
         """Run every ladder batch bucket's fused serving programs once
         against ``arr`` — after this, any serving call with a gallery of
         this (shape, dtype, sharding) is a jit-cache hit."""
+        import jax.numpy as jnp
         fh, fw = self.config.frame_hw
         rh, rw = self.config.rec_hw
+        if self.engines is not None:
+            # engine mode: the big detect+embed programs are GALLERY-
+            # INDEPENDENT (warmed once, ever); per-capacity warming is
+            # only the small match program — bucket growth costs a
+            # matmul-program compile, not a full-pipeline one
+            f = self.config.det_maxFacesPerScene
+            d = self.config.rec_outputDim
+            for b in self.batch_buckets:
+                if not self._engines_warmed:
+                    self.engines["recognize"][b](
+                        self.pipeline.det_params, self.pipeline.rec_params,
+                        np.zeros((b, fh, fw, 3), np.uint8))
+                    self.engines["embed"][b](
+                        self.pipeline.rec_params,
+                        np.zeros((b, rh, rw, 3), np.uint8))
+                for qshape in ((b, f, d), (b, d)):   # WS + /recognize
+                    self.pipeline.match_flat(
+                        jnp.zeros(qshape, jnp.float32), arr, max(count, 1),
+                        use_pallas=self.gallery.use_pallas,
+                        gallery_scale=scales)
+            self._engines_warmed = True
+            return
         for b in self.batch_buckets:   # one compile per ladder bucket
             self.pipeline.recognize_and_match(
                 np.zeros((b, fh, fw, 3), np.uint8), arr, max(count, 1),
@@ -298,6 +357,48 @@ class FaceServer:
         t.start()
         self._prewarm_thread = t
         return t
+
+    # -- hot-path dispatch (jit-served or engine-served) ---------------------
+
+    def serving_recognize(self, frames, snap):
+        """Padded (B, fh, fw, 3) u8 frames -> (FrameResult with crops,
+        sims (B, F, k), idx (B, F, k)) against a gallery snapshot.
+
+        Engine mode: the .fke artifact produces detections + embeddings +
+        crops and the gallery match runs as a second on-device dispatch
+        (the reference's engines stop at embeddings too — featureMatching
+        is app code, src/arcface.cpp:188-201). Jit mode: one fused
+        dispatch including the match."""
+        if self.engines is not None:
+            from facekit.pipeline.recognize import FrameResult
+            fn = self.engines["recognize"][frames.shape[0]]
+            boxes, scores, valid, emb, crops = fn(
+                self.pipeline.det_params, self.pipeline.rec_params, frames)
+            vals, idx = self.pipeline.match_flat(
+                emb, snap.arr, snap.count,
+                use_pallas=self.gallery.use_pallas,
+                gallery_scale=snap.scales)
+            return (FrameResult(boxes, scores, valid, emb, None, crops),
+                    vals, idx)
+        return self.pipeline.recognize_and_match(
+            frames, snap.arr, snap.count,
+            use_pallas=self.gallery.use_pallas, return_crops=True,
+            gallery_scale=snap.scales, mesh=self.mesh)
+
+    def serving_embed(self, crops, snap):
+        """Padded (B, rh, rw, 3) u8 crops -> (emb, sims (B, k), idx)."""
+        if self.engines is not None:
+            fn = self.engines["embed"][crops.shape[0]]
+            emb = fn(self.pipeline.rec_params, crops)
+            vals, idx = self.pipeline.match_flat(
+                emb, snap.arr, snap.count,
+                use_pallas=self.gallery.use_pallas,
+                gallery_scale=snap.scales)
+            return emb, vals, idx
+        return self.pipeline.embed_and_match(
+            crops, snap.arr, snap.count,
+            use_pallas=self.gallery.use_pallas,
+            gallery_scale=snap.scales, mesh=self.mesh)
 
     # -- gallery management (reference /reload, src/app.cpp:354-365) ---------
 
@@ -497,10 +598,17 @@ def make_app(server: FaceServer):
     # Concurrent requests are micro-batched: one ArcFace call + one gallery
     # search for up to server_batchSize crops (facekit extension; the
     # per-request semantics are unchanged).
-    from facekit.server.batcher import MicroBatcher
+    from facekit.server.batcher import MicroBatcher, QueueFull
 
     bsz = server.batch_size
     buckets = server.batch_buckets
+    # bounded by default: sustained overload sheds (HTTP 503 / WS "null")
+    # instead of stacking unbounded latency onto every accepted request.
+    # Worst-case queue wait ~= depth / measured batch throughput; 32
+    # batches deep keeps that in the hundreds of ms at the device rates
+    # in README. 0 = unbounded (the reference's implicit behavior is a
+    # thread-pool bound, src/app.cpp:367 — facekit's bound is explicit).
+    max_queue = int(cfg.extras.get("server_maxQueueDepth", 32 * bsz))
 
     def _pad_stack(items, template=None):
         """Pad to the smallest compiled batch bucket that fits: a lone
@@ -517,16 +625,14 @@ def make_app(server: FaceServer):
         if snap.count == 0:
             log.warning("Feature matching: No faces in database")
             return [None] * n
-        _, vals, idx = server.pipeline.embed_and_match(
-            _pad_stack(crops), snap.arr, snap.count,
-            use_pallas=server.gallery.use_pallas,
-            gallery_scale=snap.scales, mesh=server.mesh)
+        _, vals, idx = server.serving_embed(_pad_stack(crops), snap)
         vals, idx = np.asarray(vals), np.asarray(idx)
         return [{"userId": snap.names[int(idx[i, 0])],
                  "similarity": float(vals[i, 0])} for i in range(n)]
 
     recognize_batcher = MicroBatcher(_recognize_batch, server.executor,
-                                     bsz, server.batch_wait_ms)
+                                     bsz, server.batch_wait_ms,
+                                     max_queue=max_queue)
     rh, rw = cfg.rec_hw
 
     def _decode_bgr(data: bytes, resize_wh=None):
@@ -559,7 +665,11 @@ def make_app(server: FaceServer):
             frame = await run_decode(data, (rw, rh))
             retval = None
             if frame is not None:
-                retval = await recognize_batcher.submit(frame)
+                try:
+                    retval = await recognize_batcher.submit(frame)
+                except QueueFull:
+                    return web.Response(status=503,
+                                        text="Server overloaded\n")
         if retval is None:
             return web.Response(text="null",
                                 content_type="application/json")
@@ -575,10 +685,7 @@ def make_app(server: FaceServer):
         if snap.count == 0:
             log.warning("Feature matching: No faces in database")
             return [None] * n
-        res, sims, gidx = server.pipeline.recognize_and_match(
-            _pad_stack(frames), snap.arr, snap.count,
-            use_pallas=server.gallery.use_pallas, return_crops=True,
-            gallery_scale=snap.scales, mesh=server.mesh)
+        res, sims, gidx = server.serving_recognize(_pad_stack(frames), snap)
         vals = np.asarray(sims)[:n, :, 0]
         idx = np.asarray(gidx)[:n, :, 0]
         valid = np.asarray(res.valid)[:n]
@@ -619,7 +726,8 @@ def make_app(server: FaceServer):
         return out
 
     inference_batcher = MicroBatcher(_inference_batch, server.executor,
-                                     bsz, server.batch_wait_ms)
+                                     bsz, server.batch_wait_ms,
+                                     max_queue=max_queue)
 
     async def _inference_one(data: bytes) -> str:
         """One WS frame -> reply string (the reference's per-message
@@ -630,7 +738,13 @@ def make_app(server: FaceServer):
                 data, (cfg.input_frameWidth, cfg.input_frameHeight))
             retval = None
             if frame is not None:
-                retval = await inference_batcher.submit(frame)
+                try:
+                    retval = await inference_batcher.submit(frame)
+                except QueueFull:
+                    # WS contract has no status codes; the shed reply is
+                    # the contract's failure word (clients already handle
+                    # it), counted separately in /metrics
+                    retval = None
             if retval is not None:
                 loop = asyncio.get_running_loop()
                 retval = await loop.run_in_executor(
@@ -747,10 +861,13 @@ def make_app(server: FaceServer):
         snap = server.metrics.snapshot()
         for name, b in (("recognize", recognize_batcher),
                         ("inference", inference_batcher)):
+            s = snap.setdefault(name, {})
             if b.batches:
-                snap.setdefault(name, {})["mean_batch_size"] = (
-                    b.items / b.batches)
-                snap[name]["batches"] = b.batches
+                s["mean_batch_size"] = b.items / b.batches
+                s["batches"] = b.batches
+            s["queue_depth"] = b.depth
+            s["shed_count"] = b.sheds
+            s["max_queue"] = b.max_queue
         return web.json_response(snap)
 
     app = web.Application(client_max_size=64 * 1024 * 1024)
@@ -787,6 +904,12 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--db", default=None)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--engines", default=None, metavar="DIR",
+                    help="serve the hot path from exported .fke engines "
+                         "in DIR (python -m facekit.engine export) instead "
+                         "of tracing in-process — the reference's "
+                         "boot-from-artifact startup (src/arcface.cpp:"
+                         "45-69); also settable as extras.server_enginesDir")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -794,7 +917,8 @@ def main(argv=None):
     if args.db:
         import dataclasses
         cfg = dataclasses.replace(cfg, database_path=args.db)
-    server = FaceServer(cfg, warmup=not args.no_warmup)
+    server = FaceServer(cfg, warmup=not args.no_warmup,
+                        engines_dir=args.engines)
 
     if cfg.gen:  # batch-enrollment mode, then exit (src/app.cpp:69-99)
         n = server.enroll_folder(cfg.gen_imgSource, cfg.gen_imgIsCropped)
