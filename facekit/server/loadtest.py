@@ -115,6 +115,50 @@ async def run_ws_phase(session, url: str, payloads: List[bytes],
     return _percentiles(times)
 
 
+async def run_overload_phase(session, url: str, payloads: List[bytes],
+                             concurrency: int) -> Dict:
+    """Offered load >> capacity: fire every payload from ``concurrency``
+    workers with no pacing and count shed (503) vs accepted replies.
+
+    The point of the bounded batcher queue (server_maxQueueDepth): the
+    server must shed the excess and keep latency for ACCEPTED requests
+    bounded, instead of converting overload into unbounded queueing for
+    everyone (r3 measured 16-24 s queue waits at concurrency 64 with the
+    unbounded queue)."""
+    accepted: List[float] = []
+    shed = 0
+    other = 0
+    it = iter(payloads)
+
+    async def worker():
+        nonlocal shed, other
+        while True:
+            try:
+                body = next(it)
+            except StopIteration:
+                return
+            t0 = time.perf_counter()
+            async with session.post(url + "/recognize", data=body) as r:
+                await r.read()
+                if r.status == 200:
+                    accepted.append(time.perf_counter() - t0)
+                elif r.status == 503:
+                    shed += 1
+                else:
+                    other += 1
+
+    t0 = time.perf_counter()
+    await asyncio.gather(*[worker() for _ in range(concurrency)])
+    wall = time.perf_counter() - t0
+    out = {"offered": len(payloads), "concurrency": concurrency,
+           "accepted": len(accepted), "shed": shed, "errors": other,
+           "wall_s": wall,
+           "accepted_per_s": len(accepted) / max(wall, 1e-9)}
+    if accepted:
+        out["accepted_latency"] = _percentiles(accepted)
+    return out
+
+
 async def grow_gallery(session, url: str, crops: List[bytes], tmp_dir: str,
                        count: int, prefix: str = "lt") -> Dict[str, float]:
     """Insert ``count`` faces (unique crops written to tmp files, distinct
@@ -192,6 +236,10 @@ async def amain(args) -> Dict:
                         session, url, crops[n_total + 4:], td,
                         args.grow_count - 4, prefix="grow")
                 results["grow"] = grow_info
+        if args.overload:
+            ov_payloads = make_payloads(args.overload, crop_hw, seed=3)
+            results["overload"] = await run_overload_phase(
+                session, url, ov_payloads, args.overload_concurrency)
         async with session.get(url + "/metrics") as r:
             results["server_metrics"] = json.loads(await r.text())
         async with session.get(url + "/health") as r:
@@ -216,6 +264,14 @@ def main(argv=None):
                          "config with small gallery_bucket_sizes, e.g. "
                          "[16, 64, ...], for a growth drill)")
     ap.add_argument("--grow-count", type=int, default=16)
+    ap.add_argument("--overload", type=int, default=0,
+                    help="after the ladder, fire N /recognize requests at "
+                         "--overload-concurrency with no pacing (offered "
+                         "load >> capacity): reports accepted-request "
+                         "percentiles + shed (503) count. With the "
+                         "server's bounded queue the accepted p99 stays "
+                         "~max_queue/throughput and sheds are nonzero")
+    ap.add_argument("--overload-concurrency", type=int, default=128)
     ap.add_argument("--ws-pipeline", type=int, default=1,
                     help="frames in flight per WS socket (>1 needs the "
                          "server's extras.server_wsPipeline window)")

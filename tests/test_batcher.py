@@ -86,6 +86,107 @@ async def test_batcher_recovers_after_error(executor):
     assert await b.submit("ok") == "ok"
 
 
+async def test_bounded_queue_sheds_excess(executor):
+    """With max_queue set, overload sheds (QueueFull) instead of growing
+    the pending queue without bound; accepted items still all answer
+    correctly and sheds are counted."""
+    from facekit.server.batcher import QueueFull
+
+    def fn(items):
+        time.sleep(0.05)          # slow device: arrivals pile up
+        return [x + 1 for x in items]
+
+    b = MicroBatcher(fn, executor, max_batch=2, max_wait_ms=5000.0,
+                     max_queue=3)
+
+    async def one(i):
+        try:
+            return await b.submit(i)
+        except QueueFull:
+            return "shed"
+
+    outs = await asyncio.gather(*[one(i) for i in range(32)])
+    shed = [o for o in outs if o == "shed"]
+    ok = [o for o in outs if o != "shed"]
+    assert shed and ok                         # some shed, some served
+    assert b.sheds == len(shed)
+    assert sorted(ok) == sorted(i + 1 for i in range(32)
+                                if (outs[i] != "shed"))
+    # the queue bound held: accepted items never exceeded depth 3 + the
+    # in-flight batch, so the worst accepted wait is bounded by design
+    assert b.depth == 0
+
+
+async def test_server_sheds_with_503_and_null(tmp_path_factory, rng):
+    """Overloaded /recognize returns 503, overloaded WS /inference the
+    contract "null"; /metrics reports queue depth + shed count (r3
+    verdict: unbounded queueing converted overload into 16 s p50s)."""
+    import cv2
+    import jax
+    import json
+    from aiohttp.test_utils import TestClient, TestServer
+    from facekit.config import FaceKitConfig
+    from facekit.models import arcface_init, retinaface_init
+    from facekit.server import FaceServer, make_app
+
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("ov") / "ov.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False,
+        det_threshold_bbox=0.05,   # random-init weights must still detect
+        extras={"server_batchSize": 2, "server_maxQueueDepth": 1})
+    from facekit.models.lightdet import lightdet_init
+    srv = FaceServer(cfg, det_params=lightdet_init(jax.random.PRNGKey(0),
+                                                   variant="slim"),
+                     rec_params=arcface_init(jax.random.PRNGKey(1),
+                                             network="ir_tiny"),
+                     warmup=False)
+    srv.gallery.load(["m"], rng.normal(size=(1, 512)).astype(np.float32))
+    img = rng.integers(0, 256, size=(112, 112, 3), dtype=np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    data = buf.tobytes()
+    client = TestClient(TestServer(make_app(srv)))
+    await client.start_server()
+    try:
+        # park the single device worker so the queue (depth 1) must fill:
+        # shedding becomes deterministic, not a timing race
+        blocker = srv.executor.submit(time.sleep, 1.0)
+
+        async def post():
+            r = await client.post("/recognize", data=data)
+            return r.status, await r.text()
+        results = await asyncio.gather(*[post() for _ in range(8)])
+        blocker.result()
+        statuses = [s for s, _ in results]
+        assert 503 in statuses and 200 in statuses
+        for s, body in results:
+            if s == 503:
+                assert body == "Server overloaded\n"
+
+        # same under the WS contract: shed replies are the literal "null"
+        blocker = srv.executor.submit(time.sleep, 1.0)
+
+        async def ws_one():
+            ws = await client.ws_connect("/inference")
+            await ws.send_bytes(data)
+            msg = await ws.receive()
+            await ws.close()
+            return msg.data
+        replies = await asyncio.gather(*[ws_one() for _ in range(8)])
+        blocker.result()
+        assert "null" in replies
+        assert any(r != "null" for r in replies)
+
+        m = json.loads(await (await client.get("/metrics")).text())
+        assert m["recognize"]["shed_count"] >= 1
+        assert m["inference"]["shed_count"] >= 1
+        assert m["recognize"]["max_queue"] == 1
+    finally:
+        await client.close()
+
+
 async def test_serving_load_profile(tmp_path_factory, tmp_path, rng):
     """Drive /recognize at concurrency {1, 8, 64}: every reply correct,
     p99 reported and sane (VERDICT r1 item 9)."""
