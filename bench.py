@@ -458,6 +458,56 @@ def main():
         except Exception as e:  # pragma: no cover - bench resilience
             _log(f"identify section skipped: {e}")
 
+        # reply path under DETECTIONS (VERDICT r3 weak #7): with
+        # random-init weights the production threshold yields 0 valid
+        # slots, so the WS reply's crop gather (one take_along_axis + one
+        # host transfer per batch, server/app.py _inference_batch) was
+        # never timed with work to do. threshold=0 validates every slot:
+        # this times the full dispatch + the per-frame best-crop select
+        # + transfer exactly as the server runs it.
+        try:
+            _log("profiling reply path with all slots valid (threshold 0)...")
+            import jax.numpy as jnp
+            from dataclasses import replace as _cr2
+            pipe_f = FacePipeline(_cr2(cfg, det_threshold_bbox=0.0),
+                                  det, rec)
+            galf = jax.random.normal(jax.random.PRNGKey(9), (1 << 14, 512),
+                                     jnp.bfloat16)
+
+            def reply_path(f):
+                res, sims, _ = pipe_f.recognize_and_match(
+                    f, galf, 1 << 14, use_pallas=True, return_crops=True)
+                valid = np.asarray(res.valid)
+                vals = np.asarray(sims)[:, :, 0]
+                best = np.where(valid, vals, -np.inf).argmax(axis=1)
+                sel = jnp.take_along_axis(
+                    res.crops, jnp.asarray(best)[:, None, None, None, None],
+                    axis=1)[:, 0]
+                return valid, np.clip(np.asarray(sel), 0, 255
+                                      ).astype(np.uint8)
+            warm_f = np.roll(fb, 14, axis=0).copy()
+            warm_f[0, 6, 6, 0] ^= 1
+            v0, _ = reply_path(warm_f)
+            extra["replypath_valid_slots_per_batch8"] = int(v0.sum())
+            rt = []
+            for j in range(5):
+                f = fbs[j].copy()
+                f[0, 8, 8, 0] ^= np.uint8(j + 3)
+                t0 = time.perf_counter()
+                _, crops = reply_path(f)
+                rt.append(time.perf_counter() - t0)
+            extra["replypath_batch8_allvalid_wall_ms"] = (
+                _percentile(rt, 50) * 1e3)
+            dev_r = device_time_per_call(
+                lambda j: pipe_f.recognize_and_match(
+                    fbs[j], galf, 1 << 14, use_pallas=True,
+                    return_crops=True)[1], 5)
+            if dev_r:
+                extra["replypath_batch8_allvalid_device_ms"] = dev_r * 1e3
+            del galf
+        except Exception as e:  # pragma: no cover - bench resilience
+            _log(f"reply-path section skipped: {e}")
+
         # the full int8 point: CALIBRATED rec_quantize embedder (pipe_q was
         # calibrated above) + int8 gallery with per-row scales, still one
         # fused device program

@@ -26,7 +26,7 @@ _failed = False
 
 def _build() -> None:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-           "-o", _SO, _SRC]
+           "-o", _SO, _SRC, "-ljpeg"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -58,6 +58,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fk_nms.restype = ctypes.c_int
         lib.fk_gallery_top1.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
                                         f32p, ctypes.c_int, f32p, i32p]
+        lib.fk_jpeg_dims.argtypes = [u8p, ctypes.c_ulong, i32p, i32p]
+        lib.fk_jpeg_dims.restype = ctypes.c_int
+        lib.fk_jpeg_decode_bgr.argtypes = [u8p, ctypes.c_ulong, u8p]
+        lib.fk_jpeg_decode_bgr.restype = ctypes.c_int
+        lib.fk_jpeg_encode_bgr.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_ulong)]
+        lib.fk_jpeg_encode_bgr.restype = ctypes.c_long
+        lib.fk_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -117,6 +126,54 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float,
     n = lib.fk_nms(_f32(boxes), _f32(scores), len(scores),
                    iou_threshold, len(out), _i32(out))
     return out[:n]
+
+
+def decode_jpeg_bgr(data: bytes,
+                    resize_wh: Optional[Tuple[int, int]] = None
+                    ) -> Optional[np.ndarray]:
+    """JPEG bytes -> (H, W, 3) BGR uint8, optionally host-resized to
+    (w, h). Returns None on any parse/decode failure (same contract as
+    cv2.imdecode). The serving decode path without OpenCV — grayscale
+    sources are color-converted by libjpeg; non-JPEG payloads fail the
+    header check and return None."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.fk_jpeg_dims(_u8(buf), len(data), ctypes.byref(h),
+                        ctypes.byref(w)) != 0:
+        return None
+    img = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.fk_jpeg_decode_bgr(_u8(buf), len(data), _u8(img)) != 0:
+        return None
+    if resize_wh is not None and img.shape[:2] != resize_wh[::-1]:
+        ow, oh = resize_wh
+        # resize_u8 saturates + rounds already; the cast is exact
+        img = resize_u8(img, (oh, ow), "linear",
+                        saturate=True).astype(np.uint8)
+    return img
+
+
+def encode_jpeg_bgr(img: np.ndarray, quality: int = 95) -> Optional[bytes]:
+    """(H, W, 3) BGR uint8 -> baseline JPEG bytes (cv2.imencode default
+    quality), or None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    assert c == 3, "BGR input required"
+    outbuf = ctypes.POINTER(ctypes.c_uint8)()
+    outlen = ctypes.c_ulong(0)
+    n = lib.fk_jpeg_encode_bgr(_u8(img), h, w, int(quality),
+                               ctypes.byref(outbuf), ctypes.byref(outlen))
+    if n < 0 or not outbuf:
+        return None
+    try:
+        return ctypes.string_at(outbuf, outlen.value)
+    finally:
+        lib.fk_free(outbuf)
 
 
 def gallery_top1(gallery: np.ndarray, queries: np.ndarray

@@ -13,11 +13,118 @@
 
 #include <algorithm>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
+#include <jpeglib.h>
+
+namespace {
+// libjpeg reports fatal errors via error_exit (default: exit()); longjmp
+// back so a truncated/corrupt payload returns -1 instead of killing the
+// serving process.
+struct FkJpegErr {
+    jpeg_error_mgr mgr;
+    jmp_buf jb;
+};
+void fk_jpeg_fail(j_common_ptr cinfo) {
+    longjmp(reinterpret_cast<FkJpegErr*>(cinfo->err)->jb, 1);
+}
+}  // namespace
+
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// JPEG codec (system libjpeg-turbo): the serving decode/encode path without
+// OpenCV. The reference's server depends on cv::imdecode/imencode for every
+// WS frame (src/app.cpp:293-352); with these the facekit server's host
+// pixel work (decode -> resize -> ... -> encode reply) runs entirely in
+// this library when cv2 is absent or extras.server_hostOps == "native".
+// ---------------------------------------------------------------------------
+
+int fk_jpeg_dims(const uint8_t* data, unsigned long len, int* h, int* w) {
+    jpeg_decompress_struct cinfo;
+    FkJpegErr err;
+    cinfo.err = jpeg_std_error(&err.mgr);
+    err.mgr.error_exit = fk_jpeg_fail;
+    if (setjmp(err.jb)) { jpeg_destroy_decompress(&cinfo); return -1; }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    *h = (int)cinfo.image_height;
+    *w = (int)cinfo.image_width;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Full-resolution decode to interleaved BGR u8 (h*w*3, caller-sized from
+// fk_jpeg_dims). Grayscale/YCbCr sources are color-converted by libjpeg.
+int fk_jpeg_decode_bgr(const uint8_t* data, unsigned long len,
+                       uint8_t* out) {
+    jpeg_decompress_struct cinfo;
+    FkJpegErr err;
+    cinfo.err = jpeg_std_error(&err.mgr);
+    err.mgr.error_exit = fk_jpeg_fail;
+    if (setjmp(err.jb)) { jpeg_destroy_decompress(&cinfo); return -1; }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    cinfo.out_color_space = JCS_EXT_BGR;
+    jpeg_start_decompress(&cinfo);
+    const size_t stride = (size_t)cinfo.output_width * 3;
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = out + (size_t)cinfo.output_scanline * stride;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// BGR u8 (h, w, 3) -> baseline JPEG. *outbuf is malloc'd by libjpeg
+// (jpeg_mem_dest); caller frees with fk_free. Returns byte size or -1.
+long fk_jpeg_encode_bgr(const uint8_t* img, int h, int w, int quality,
+                        uint8_t** outbuf, unsigned long* outlen) {
+    jpeg_compress_struct cinfo;
+    FkJpegErr err;
+    cinfo.err = jpeg_std_error(&err.mgr);
+    err.mgr.error_exit = fk_jpeg_fail;
+    *outbuf = nullptr;
+    *outlen = 0;
+    if (setjmp(err.jb)) {
+        jpeg_destroy_compress(&cinfo);
+        if (*outbuf) { free(*outbuf); *outbuf = nullptr; }
+        return -1;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, outbuf, outlen);
+    cinfo.image_width = (JDIMENSION)w;
+    cinfo.image_height = (JDIMENSION)h;
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_EXT_BGR;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    jpeg_start_compress(&cinfo, TRUE);
+    while (cinfo.next_scanline < cinfo.image_height) {
+        JSAMPROW row = const_cast<uint8_t*>(img)
+            + (size_t)cinfo.next_scanline * w * 3;
+        jpeg_write_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    return (long)*outlen;
+}
+
+void fk_free(void* p) { free(p); }
 
 // ---------------------------------------------------------------------------
 // Separable resize with OpenCV semantics (half-pixel mapping, clamped

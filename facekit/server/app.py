@@ -43,20 +43,110 @@ def _require_cv2():
     return cv2
 
 
+class _Cv2Pixels:
+    """Host pixel backend over OpenCV: bit-parity with the reference's
+    cv::imdecode/resize/imencode host work (src/app.cpp:293-352)."""
+
+    name = "cv2"
+
+    def __init__(self):
+        self.cv2 = _require_cv2()
+
+    def decode(self, data: bytes, resize_wh=None):
+        cv2 = self.cv2
+        frame = cv2.imdecode(np.frombuffer(data, np.uint8),
+                             cv2.IMREAD_UNCHANGED)
+        if frame is None:
+            return None
+        if frame.ndim == 2:
+            frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)
+        elif frame.shape[-1] == 4:  # PNG with alpha (IMREAD_UNCHANGED)
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGRA2BGR)
+        if resize_wh is not None and frame.shape[:2] != resize_wh[::-1]:
+            frame = cv2.resize(frame, resize_wh)
+        return frame
+
+    def imread(self, path: str, resize_wh=None):
+        img = self.cv2.imread(path)
+        if img is not None and resize_wh is not None \
+                and img.shape[:2] != resize_wh[::-1]:
+            img = self.cv2.resize(img, resize_wh)
+        return img
+
+    def resize(self, img, wh):
+        return self.cv2.resize(img, wh)
+
+    def encode_jpg(self, img) -> Optional[bytes]:
+        ok, buf = self.cv2.imencode(".jpg", img)
+        return buf.tobytes() if ok else None
+
+
+class _NativePixels:
+    """OpenCV-free host pixel backend (facekit.native: system libjpeg +
+    the native resize). Decode is bit-identical to cv2's for JPEG (same
+    libjpeg-turbo family), resize within 1 LSB. JPEG-only codec: other
+    formats decode to None, the contract's failure path — the right
+    trade for camera-stream deployments that don't want the OpenCV
+    dependency."""
+
+    name = "native"
+
+    def __init__(self):
+        from facekit import native
+        if not native.available():
+            raise RuntimeError("native host backend unavailable "
+                               "(no C++ toolchain?)")
+        self.native = native
+
+    def decode(self, data: bytes, resize_wh=None):
+        return self.native.decode_jpeg_bgr(data, resize_wh)
+
+    def imread(self, path: str, resize_wh=None):
+        try:
+            with open(path, "rb") as f:
+                return self.decode(f.read(), resize_wh)
+        except OSError:
+            return None
+
+    def resize(self, img, wh):
+        w, h = wh
+        return self.native.resize_u8(
+            np.ascontiguousarray(img, np.uint8), (h, w), "linear",
+            saturate=True).astype(np.uint8)
+
+    def encode_jpg(self, img) -> Optional[bytes]:
+        return self.native.encode_jpeg_bgr(
+            np.clip(np.asarray(img), 0, 255).astype(np.uint8))
+
+
+def host_pixels(config=None):
+    """Pick the host pixel backend: cv2 when importable (reference
+    parity), the native C++ runtime when cv2 is missing or when forced
+    with ``extras.server_hostOps: "native"``."""
+    forced = (config is not None
+              and config.extras.get("server_hostOps") == "native")
+    if not forced:
+        try:
+            return _Cv2Pixels()
+        except ImportError:
+            pass
+    return _NativePixels()
+
+
 def _load_calibration_crops(folder: str, rec_hw, batch: int = 16,
-                            limit: int = 256):
+                            limit: int = 256, pixels=None):
     """Yield (N, rec_h, rec_w, 3) uint8 BGR batches from a folder of face
     images (resized, not detected — calibration wants the embedder's input
     distribution, which the serving path produces at rec_hw)."""
-    cv2 = _require_cv2()
+    px = pixels if pixels is not None else host_pixels()
     h, w = rec_hw
     acc = []
     n = 0
     for fname in sorted(os.listdir(folder)):
-        img = cv2.imread(os.path.join(folder, fname))
+        img = px.imread(os.path.join(folder, fname), (w, h))
         if img is None:
             continue
-        acc.append(cv2.resize(img, (w, h)))
+        acc.append(img)
         n += 1
         if len(acc) == batch:
             yield np.stack(acc)
@@ -84,7 +174,8 @@ def calibrate_from_config(pipeline, config) -> bool:
                                        CALIBRATION_HEADROOM))
     try:
         pipeline.calibrate_embedder(
-            _load_calibration_crops(calib_dir, config.rec_hw),
+            _load_calibration_crops(calib_dir, config.rec_hw,
+                                    pixels=host_pixels(config)),
             headroom=headroom)
         log.info("int8 embedder calibrated from %s (headroom %.2f)",
                  calib_dir, headroom)
@@ -107,6 +198,10 @@ class FaceServer:
         from facekit.pipeline import FacePipeline
 
         self.config = config
+        # host pixel work (JPEG codec, host resize): cv2 by default,
+        # the native C++ runtime when cv2 is absent or forced via
+        # extras.server_hostOps — see host_pixels()
+        self.pixels = host_pixels(config)
         # Persistent XLA compilation cache: the facekit analog of loading
         # prebuilt .engine files (reference src/arcface.cpp:45-69) — warm
         # restarts skip the multi-second jit compiles.
@@ -430,7 +525,7 @@ class FaceServer:
         the decode pool. At the measured batch rates this turns a
         10k-image enrollment from minutes into seconds.
         """
-        cv2 = _require_cv2()
+        px = self.pixels
         items = []                                 # (class_name, path)
         for class_name in sorted(os.listdir(source)):
             cdir = os.path.join(source, class_name)
@@ -445,7 +540,7 @@ class FaceServer:
         count = 0
         for i in range(0, len(items), bs):
             chunk = items[i:i + bs]
-            imgs = list(self.decode_pool.map(cv2.imread,
+            imgs = list(self.decode_pool.map(px.imread,
                                              [p for _, p in chunk]))
             kept = [(cn, p, im) for (cn, p), im in zip(chunk, imgs)
                     if im is not None]
@@ -456,15 +551,15 @@ class FaceServer:
                 crops = np.zeros((bs, rh, rw, 3), np.uint8)
                 for j, (_, _, im) in enumerate(kept):
                     crops[j] = (im if im.shape[:2] == (rh, rw)
-                                else cv2.resize(im, (rw, rh)))
+                                else px.resize(im, (rw, rh)))
                 embs = self.pipeline.embed_cropped_batch(crops)[:n]
                 ok = [True] * n
             else:
                 frames = np.zeros((bs, cfg.input_frameHeight,
                                    cfg.input_frameWidth, 3), np.uint8)
                 for j, (_, _, im) in enumerate(kept):
-                    frames[j] = cv2.resize(im, (cfg.input_frameWidth,
-                                                cfg.input_frameHeight))
+                    frames[j] = px.resize(im, (cfg.input_frameWidth,
+                                               cfg.input_frameHeight))
                 res = self.pipeline.recognize_frames(frames)
                 valid = np.asarray(res.valid)[:n]
                 embs = np.asarray(res.embeddings)[:n, 0]
@@ -482,7 +577,7 @@ class FaceServer:
 
 def make_app(server: FaceServer):
     from aiohttp import web, WSMsgType
-    cv2 = _require_cv2()
+    px = server.pixels
     cfg = server.config
 
     def run_blocking(fn, *args):
@@ -525,7 +620,7 @@ def make_app(server: FaceServer):
                 img_path = el["imgPath"]
                 if not os.path.isfile(img_path):
                     raise RuntimeError("Image path not found")
-                image = cv2.imread(img_path)
+                image = px.imread(img_path)
                 if image is None:
                     raise RuntimeError("Image path not found")
                 ret = 0
@@ -537,12 +632,12 @@ def make_app(server: FaceServer):
                     # would trace+compile per unique (H, W)
                     rh_, rw_ = cfg.rec_hw
                     if image.shape[:2] != (rh_, rw_):
-                        image = cv2.resize(image, (rw_, rh_))
+                        image = px.resize(image, (rw_, rh_))
                     emb = server.pipeline.embed_cropped(image)
                     ret = 1
                 else:
-                    frame = cv2.resize(image, (cfg.input_frameWidth,
-                                               cfg.input_frameHeight))
+                    frame = px.resize(image, (cfg.input_frameWidth,
+                                              cfg.input_frameHeight))
                     res = server.pipeline.recognize_frame(frame)
                     nvalid = int(np.asarray(res.valid).sum())
                     if nvalid > 1:
@@ -635,26 +730,13 @@ def make_app(server: FaceServer):
                                      max_queue=max_queue)
     rh, rw = cfg.rec_hw
 
-    def _decode_bgr(data: bytes, resize_wh=None):
-        """JPEG/PNG bytes -> BGR frame (or None). Runs on the decode pool:
-        cv2.imdecode takes ~1-2 ms and releases the GIL — doing it inline
-        in a handler would stall the event loop and serialize the server
-        under load (the device batch itself is only ~4.6 ms)."""
-        frame = cv2.imdecode(np.frombuffer(data, np.uint8),
-                             cv2.IMREAD_UNCHANGED)
-        if frame is None:
-            return None
-        if frame.ndim == 2:
-            frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)
-        elif frame.shape[-1] == 4:  # PNG with alpha (IMREAD_UNCHANGED)
-            frame = cv2.cvtColor(frame, cv2.COLOR_BGRA2BGR)
-        if resize_wh is not None and frame.shape[:2] != resize_wh[::-1]:
-            frame = cv2.resize(frame, resize_wh)
-        return frame
-
     def run_decode(data, resize_wh=None):
+        """Image bytes -> BGR frame (or None), on the decode pool: decode
+        takes ~1-2 ms and releases the GIL (both backends) — doing it
+        inline in a handler would stall the event loop and serialize the
+        server under load (the device batch itself is only ~4.6 ms)."""
         loop = asyncio.get_running_loop()
-        return loop.run_in_executor(server.decode_pool, _decode_bgr, data,
+        return loop.run_in_executor(server.decode_pool, px.decode, data,
                                     resize_wh)
 
     async def recognize(request):
@@ -720,9 +802,9 @@ def make_app(server: FaceServer):
         """crop ndarray -> base64 jpg, on the decode pool (host work must
         not ride the device executor)."""
         crop = out.pop("crop")
-        ok, buf = cv2.imencode(".jpg", crop)
-        out["image"] = (base64.b64encode(buf.tobytes()).decode()
-                        if ok else "")
+        buf = px.encode_jpg(crop)
+        out["image"] = (base64.b64encode(buf).decode()
+                        if buf is not None else "")
         return out
 
     inference_batcher = MicroBatcher(_inference_batch, server.executor,
