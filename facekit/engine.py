@@ -58,7 +58,9 @@ def _quant_meta(pipeline) -> Dict[str, Any]:
     quantized = bool(getattr(pipeline.config, "rec_quantize", False))
     conv = pipeline.rec_params.get("input", {}).get("conv", None)
     calibrated = quantized and isinstance(conv, dict) and "ascale" in conv
-    return {"rec_quantize": quantized, "rec_calibrated": calibrated}
+    residual = quantized and "oscale" in pipeline.rec_params.get("input", {})
+    return {"rec_quantize": quantized, "rec_calibrated": calibrated,
+            "rec_int8_residual": residual}
 
 
 def export_recognize_engine(pipeline, batch_size: int,
@@ -347,6 +349,9 @@ def load_serving_engines(engines_dir: str, config,
         _check_meta(path, meta, "compute_dtype", cfg.compute_dtype)
         _check_meta(path, meta, "rec_quantize", quant["rec_quantize"])
         _check_meta(path, meta, "rec_calibrated", quant["rec_calibrated"])
+        if meta.get("rec_int8_residual") is not None:   # absent pre-r4
+            _check_meta(path, meta, "rec_int8_residual",
+                        quant["rec_int8_residual"])
         if program == "recognize":
             _check_meta(path, meta, "frame_hw", list(cfg.frame_hw))
             _check_meta(path, meta, "max_faces", cfg.det_maxFacesPerScene)

@@ -112,12 +112,56 @@ def _block_apply(x, p, stride: int, stats=None, prefix: str = ""):
     r = L.batch_norm(r, p["bn2"])
     if "se" in p:
         r = _se_apply(r, p["se"])
-    return r + sc
+    out = r + sc
+    if stats is not None:   # block-output amax, for int8-residual oscales
+        stats[f"{prefix}.out"] = jnp.max(jnp.abs(out.astype(jnp.float32)))
+    return out
+
+
+def _quantize_act(x, scale):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                    -127, 127).astype(jnp.int8)
+
+
+def _block_apply_q8(xq, xs, p, stride: int, dtype):
+    """int8-RESIDUAL block: the inter-block activation arrives and leaves
+    as s8 + a calibrated scalar scale, killing the double-dtype activation
+    write the fused int8 pipeline pays at every block boundary (each
+    stage-1/2 output was stored BOTH bf16 for the residual path and s8
+    for the next conv — docs/ROADMAP.md r3 per-HLO analysis; the input
+    fusion alone wrote 462 MB/batch-64). Numerics delta vs the calibrated
+    int8 path: ONE extra 127-level quantization of the block output
+    (oscale, calibrated like the conv ascales); everything else is
+    unchanged.
+
+    MEASURED NEGATIVE (r4, full fused batch-64 pipeline, v5e): 20.173 ms
+    vs 19.268 ms for plain calibrated int8 (0.96x) with ~2x the embedding
+    drift (max cosine 5.0e-3 vs 2.9e-3 against f32) — the extra
+    quantize/dequant chains cost more than the saved boundary writes.
+    The mode stays available (flag `extras.rec_int8Residual`) as the
+    recorded answer to the r3 open question, NOT as a recommended
+    serving point; see docs/ROADMAP.md round 4."""
+    x = (xq.astype(jnp.float32) * xs).astype(dtype)   # fuses; reads s8 only
+    if "shortcut" in p:
+        sc = _conv(x, p["shortcut"]["conv"], stride=stride, padding=0)
+        sc = L.batch_norm(sc, p["shortcut"]["bn"])
+    else:
+        sc = L.strided_identity(x, stride)
+    r = L.batch_norm(x, p["bn1"])
+    r = _conv(r, p["conv1"], stride=1, padding=1)
+    r = L.prelu(r, p["prelu"])
+    r = _conv(r, p["conv2"], stride=stride, padding=1)
+    r = L.batch_norm(r, p["bn2"])
+    if "se" in p:
+        r = _se_apply(r, p["se"])
+    y = r + sc
+    return _quantize_act(y, p["oscale"]), p["oscale"]
 
 
 def quantize_arcface_params(params: Dict[str, Any],
                             act_amax: Optional[Dict[str, float]] = None,
-                            skip_sites: Optional[set] = None
+                            skip_sites: Optional[set] = None,
+                            int8_residual: bool = False
                             ) -> Dict[str, Any]:
     """Post-training int8 weight quantization of every backbone conv
     (per-output-channel scales); BN/PReLU/SE/linear stay float. Activations
@@ -133,8 +177,22 @@ def quantize_arcface_params(params: Dict[str, Any],
     ``skip_sites``: site names kept in the float/compute dtype (default:
     nothing skipped — mixed-precision serving was measured FLAT on the
     slow s8 stride-2 shapes, docs/ROADMAP.md r3; the knob remains for
-    accuracy-driven mixed quantization)."""
+    accuracy-driven mixed quantization).
+
+    ``int8_residual``: keep inter-block activations s8-resident (requires
+    calibrated ``act_amax`` including the ``*.out`` block-output maxima) —
+    see _block_apply_q8 for the bandwidth rationale and numerics delta.
+    """
     skip = skip_sites or set()
+    if int8_residual:
+        if act_amax is None:
+            raise ValueError("int8_residual requires calibrated act_amax "
+                             "(block-output scales have no dynamic mode)")
+        if skip:
+            raise ValueError("int8_residual with skip_sites unsupported")
+
+    def oscale(name):
+        return jnp.float32(max(float(act_amax[name]), 1e-12) / 127.0)
 
     def q(w, name):
         if name in skip:
@@ -146,9 +204,11 @@ def quantize_arcface_params(params: Dict[str, Any],
                 max(float(act_amax[name]), 1e-12) / 127.0)
         return d
 
+    p_in = dict(params["input"], conv=q(params["input"]["conv"], "input"))
+    if int8_residual:
+        p_in["oscale"] = oscale("stem.out")
     out: Dict[str, Any] = {
-        "input": dict(params["input"],
-                      conv=q(params["input"]["conv"], "input")),
+        "input": p_in,
         "blocks": [],
         "output": params["output"],
     }
@@ -159,6 +219,8 @@ def quantize_arcface_params(params: Dict[str, Any],
             blk["shortcut"] = dict(p["shortcut"],
                                    conv=q(p["shortcut"]["conv"],
                                           f"b{i}.shortcut"))
+        if int8_residual:
+            blk["oscale"] = oscale(f"b{i}.out")
         out["blocks"].append(blk)
     return out
 
@@ -213,9 +275,19 @@ def _forward(params: Dict[str, Any], x: jnp.ndarray, network: str,
               name="input")
     x = L.batch_norm(x, p_in["bn"])
     x = L.prelu(x, p_in["prelu"])
-    for i, (p_blk, (_, _, stride)) in enumerate(zip(params["blocks"],
-                                                    specs)):
-        x = _block_apply(x, p_blk, stride, stats=stats, prefix=f"b{i}")
+    if stats is not None:
+        stats["stem.out"] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    if isinstance(p_in, dict) and "oscale" in p_in:
+        # int8-residual mode (see _block_apply_q8): activations stay s8
+        # between blocks; one dequant after the last block
+        xq, xs = _quantize_act(x, p_in["oscale"]), p_in["oscale"]
+        for p_blk, (_, _, stride) in zip(params["blocks"], specs):
+            xq, xs = _block_apply_q8(xq, xs, p_blk, stride, dtype)
+        x = (xq.astype(jnp.float32) * xs).astype(dtype)
+    else:
+        for i, (p_blk, (_, _, stride)) in enumerate(zip(params["blocks"],
+                                                        specs)):
+            x = _block_apply(x, p_blk, stride, stats=stats, prefix=f"b{i}")
     p_out = params["output"]
     x = L.batch_norm(x, p_out["bn2d"])
     # torch flattens NCHW; transpose so converted Linear weights line up
@@ -250,7 +322,8 @@ def arcface_act_amax(params: Dict[str, Any], x: jnp.ndarray,
 def calibrate_arcface_int8(params: Dict[str, Any],
                            batches: Iterable[jnp.ndarray],
                            network: str = "ir_50",
-                           headroom: float = 1.0) -> Dict[str, Any]:
+                           headroom: float = 1.0,
+                           int8_residual: bool = False) -> Dict[str, Any]:
     """Post-training calibration: fold activation maxima over the given
     (N, H, W, 3) normalized-RGB batches, then quantize with STATIC
     activation scales (amax * headroom). vs dynamic quantization this
@@ -270,4 +343,5 @@ def calibrate_arcface_int8(params: Dict[str, Any],
     if n == 0:
         raise ValueError("calibration needs at least one batch")
     return quantize_arcface_params(
-        params, act_amax={k: v * headroom for k, v in agg.items()})
+        params, act_amax={k: v * headroom for k, v in agg.items()},
+        int8_residual=int8_residual)

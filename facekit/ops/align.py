@@ -131,6 +131,74 @@ def _linear_axis_weights(pos: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(grid - pos[..., None]))
 
 
+def _window_box(lm, template, oh, ow):
+    """Axis-aligned square window (x1, y1, x2, y2) covering the warp's
+    source quad for one face, +2 px margin."""
+    m = umeyama(lm, template)
+    mi = _invert_affine(m)
+    corners = jnp.asarray([[0.0, 0.0], [ow, 0.0], [0.0, oh], [ow, oh]],
+                          jnp.float32)
+    src = corners @ mi[:, :2].T + mi[:, 2]
+    lo = src.min(0) - 2.0
+    hi = src.max(0) + 2.0
+    side = jnp.max(hi - lo)
+    return jnp.concatenate([lo, lo + side])
+
+
+def _shear_passes(win, lm, box, template, c_win, oh, ow, dtype):
+    """Two-pass shear warp of one face's (c_win, c_win, 3) window to
+    (oh, ow, 3); see warp_align_shear for the math + degeneracy guard."""
+    # landmark/window coordinate mapping must match crop_resize's
+    # sampling: src = lo + (u + 0.5) * scale - 0.5
+    lox, loy = jnp.floor(box[0]), jnp.floor(box[1])
+    hix = jnp.maximum(jnp.floor(box[2]), lox + 1.0)
+    hiy = jnp.maximum(jnp.floor(box[3]), loy + 1.0)
+    scx = (hix - lox) / c_win
+    scy = (hiy - loy) / c_win
+    lw = jnp.stack([(lm[:, 0] - lox + 0.5) / scx - 0.5,
+                    (lm[:, 1] - loy + 0.5) / scy - 0.5], axis=1)
+    m = umeyama(lw, template)
+    mi = _invert_affine(m)
+    # Degeneracy guard, valid for EVERY in-plane rotation: pass B's
+    # coefficient d = mi[1,1] ~ cos(theta)/s vanishes near +-90 deg.
+    # There, swap the roles of the window axes instead — transpose the
+    # window (one layout op) and swap the rows of the inverse map,
+    # after which the coefficient is mi[0,1] ~ sin(theta)/s. One of
+    # |cos|, |sin| is always >= cos 45 deg, so whichever branch is
+    # selected is well-conditioned (the sign is irrelevant; theta near
+    # 180 deg needs no handling at all). r1 merely clamped d and
+    # degraded beyond ~60 deg — VERDICT item 6.
+    swap = jnp.abs(mi[1, 1]) < jnp.abs(mi[0, 1])
+    mi = jnp.where(swap, mi[::-1], mi)
+    win = jnp.where(swap, jnp.transpose(win, (1, 0, 2)), win)
+    a, b, e = mi[0, 0], mi[0, 1], mi[0, 2]
+    c, d, f = mi[1, 0], mi[1, 1], mi[1, 2]
+    d = jnp.where(jnp.abs(d) < 1e-3, 1e-3, d)  # unreachable belt+braces
+    beta = b / d
+    alpha = a - beta * c
+    gamma = e - beta * f
+
+    ys = jnp.arange(c_win, dtype=jnp.float32)
+    us = jnp.arange(ow, dtype=jnp.float32)
+    # pass A: H[y, u] = win[y, alpha*u + beta*y + gamma]
+    pos_a = alpha * us[None, :] + beta * ys[:, None] + gamma  # (C, ow)
+    wa = _linear_axis_weights(pos_a, c_win)                   # (C, ow, C)
+    ha = jnp.einsum("yux,yxc->yuc", wa.astype(dtype),
+                    win.astype(dtype),
+                    preferred_element_type=jnp.float32)       # (C, ow, 3)
+    # pass B: O[yo, xo] = H[c*xo + d*yo + f, xo]
+    xo = jnp.arange(ow, dtype=jnp.float32)
+    yo = jnp.arange(oh, dtype=jnp.float32)
+    pos_b = c * xo[None, :] + d * yo[:, None] + f             # (oh, ow)
+    pos_b_t = pos_b.T                                          # (ow, oh)
+    wb = _linear_axis_weights(pos_b_t, c_win)                  # (ow, oh, C)
+    ht = jnp.transpose(ha, (1, 0, 2))                          # (ow, C, 3)
+    ot = jnp.einsum("uoy,uyc->uoc", wb.astype(dtype),
+                    ht.astype(dtype),
+                    preferred_element_type=jnp.float32)        # (ow, oh, 3)
+    return jnp.transpose(ot, (1, 0, 2))
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw", "window", "dtype"))
 def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
                      out_hw: Tuple[int, int] = (112, 112),
@@ -175,76 +243,103 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
     if (oh, ow) != (112, 112):
         template = template * jnp.asarray([ow / 112.0, oh / 112.0])
 
-    def window_box(lm):
-        m = umeyama(lm, template)
-        mi = _invert_affine(m)
-        corners = jnp.asarray([[0.0, 0.0], [ow, 0.0], [0.0, oh], [ow, oh]],
-                              jnp.float32)
-        src = corners @ mi[:, :2].T + mi[:, 2]
-        lo = src.min(0) - 2.0
-        hi = src.max(0) + 2.0
-        side = jnp.max(hi - lo)
-        return jnp.concatenate([lo, lo + side])
-
-    boxes = jax.vmap(window_box)(landmarks.astype(jnp.float32))
+    lms = landmarks.astype(jnp.float32)
+    boxes = jax.vmap(lambda lm: _window_box(lm, template, oh, ow))(lms)
 
     from facekit.ops.resize import crop_resize
     wins = crop_resize(frame, boxes, (c_win, c_win), "linear",
                        saturate=False)                      # (F, C, C, 3)
 
-    def one(win, lm, box):
-        # landmark/window coordinate mapping must match crop_resize's
-        # sampling: src = lo + (u + 0.5) * scale - 0.5
-        lox, loy = jnp.floor(box[0]), jnp.floor(box[1])
-        hix = jnp.maximum(jnp.floor(box[2]), lox + 1.0)
-        hiy = jnp.maximum(jnp.floor(box[3]), loy + 1.0)
-        scx = (hix - lox) / c_win
-        scy = (hiy - loy) / c_win
-        lw = jnp.stack([(lm[:, 0] - lox + 0.5) / scx - 0.5,
-                        (lm[:, 1] - loy + 0.5) / scy - 0.5], axis=1)
-        m = umeyama(lw, template)
-        mi = _invert_affine(m)
-        # Degeneracy guard, valid for EVERY in-plane rotation: pass B's
-        # coefficient d = mi[1,1] ~ cos(theta)/s vanishes near +-90 deg.
-        # There, swap the roles of the window axes instead — transpose the
-        # window (one layout op) and swap the rows of the inverse map,
-        # after which the coefficient is mi[0,1] ~ sin(theta)/s. One of
-        # |cos|, |sin| is always >= cos 45 deg, so whichever branch is
-        # selected is well-conditioned (the sign is irrelevant; theta near
-        # 180 deg needs no handling at all). r1 merely clamped d and
-        # degraded beyond ~60 deg — VERDICT item 6.
-        swap = jnp.abs(mi[1, 1]) < jnp.abs(mi[0, 1])
-        mi = jnp.where(swap, mi[::-1], mi)
-        win = jnp.where(swap, jnp.transpose(win, (1, 0, 2)), win)
-        a, b, e = mi[0, 0], mi[0, 1], mi[0, 2]
-        c, d, f = mi[1, 0], mi[1, 1], mi[1, 2]
-        d = jnp.where(jnp.abs(d) < 1e-3, 1e-3, d)  # unreachable belt+braces
-        beta = b / d
-        alpha = a - beta * c
-        gamma = e - beta * f
+    return jax.vmap(lambda win, lm, box: _shear_passes(
+        win, lm, box, template, c_win, oh, ow, dtype))(wins, lms, boxes)
 
-        ys = jnp.arange(c_win, dtype=jnp.float32)
-        us = jnp.arange(ow, dtype=jnp.float32)
-        # pass A: H[y, u] = win[y, alpha*u + beta*y + gamma]
-        pos_a = alpha * us[None, :] + beta * ys[:, None] + gamma  # (C, ow)
-        wa = _linear_axis_weights(pos_a, c_win)                   # (C, ow, C)
-        ha = jnp.einsum("yux,yxc->yuc", wa.astype(dtype),
-                        win.astype(dtype),
-                        preferred_element_type=jnp.float32)       # (C, ow, 3)
-        # pass B: O[yo, xo] = H[c*xo + d*yo + f, xo]
-        xo = jnp.arange(ow, dtype=jnp.float32)
-        yo = jnp.arange(oh, dtype=jnp.float32)
-        pos_b = c * xo[None, :] + d * yo[:, None] + f             # (oh, ow)
-        pos_b_t = pos_b.T                                          # (ow, oh)
-        wb = _linear_axis_weights(pos_b_t, c_win)                  # (ow, oh, C)
-        ht = jnp.transpose(ha, (1, 0, 2))                          # (ow, C, 3)
-        ot = jnp.einsum("uoy,uyc->uoc", wb.astype(dtype),
-                        ht.astype(dtype),
-                        preferred_element_type=jnp.float32)        # (ow, oh, 3)
-        return jnp.transpose(ot, (1, 0, 2))
 
-    return jax.vmap(one)(wins, landmarks.astype(jnp.float32),
-                         boxes.astype(jnp.float32))
+@functools.partial(jax.jit,
+                   static_argnames=("out_hw", "window", "dtype",
+                                    "slice_win"))
+def warp_align_frames(frames: jnp.ndarray, landmarks: jnp.ndarray,
+                      out_hw: Tuple[int, int] = (112, 112),
+                      window: Optional[int] = None,
+                      dtype=jnp.float32,
+                      slice_win: Optional[int] = None) -> jnp.ndarray:
+    """Batched-frames alignment, with an optional WINDOWED crop-resize.
+
+    frames (N, H, W, 3) — pass the raw uint8 frames; landmarks
+    (N, F, 5, 2) -> (N, F, oh, ow, 3). The default (slice_win=None) is
+    the full-frame path: measured identical to the r3 per-frame-vmap
+    construction (26.165 vs 26.166 ms batch-64 bf16).
+
+    ``slice_win=S``: when EVERY face's window box fits in S x S, each
+    window is dynamic-sliced from the UINT8 frame (1 B/px) at a clamped
+    integer origin, cutting the crop-dot FLOPs by (H*W)/(S*S); sampling
+    positions stay in full-frame coordinates with an integer tap-index
+    shift, so the result is BIT-identical to the full-frame path
+    (test-pinned). One oversized face anywhere falls back for the whole
+    batch via a top-level lax.cond — hoisted ABOVE both vmaps, where it
+    is a real branch (inside either vmap it would lower to select and
+    run both paths: the select_faces_batch lesson).
+
+    MEASURED NEGATIVE as the default (r4, full fused batch-64 bf16
+    pipeline, v5e, S=320): 26.852 ms windowed vs 26.165 ms full-frame
+    (0.97x) — the vmapped dynamic_slice lowers to a gather whose cost
+    exceeds the ~0.5 ms of saved compute-bound crop-dot FLOPs, exactly
+    the materialization trap docs/ROADMAP.md r3 item 5 flagged. Kept as
+    an opt-in (exact, tested) for geometries where the frame/window
+    ratio is much larger; the serving pipeline uses the default.
+    """
+    from facekit.ops.resize import crop_resize
+
+    oh, ow = out_hw
+    if window is None:
+        base = -(-max(out_hw) * 10 // 7)
+        window = max(160, (base + 7) // 8 * 8)
+    c_win = window
+    n, h, w, _ = frames.shape
+    template = jnp.asarray(ARCFACE_TEMPLATE_112)
+    if (oh, ow) != (112, 112):
+        template = template * jnp.asarray([ow / 112.0, oh / 112.0])
+
+    lms = landmarks.astype(jnp.float32)
+    boxes = jax.vmap(jax.vmap(
+        lambda lm: _window_box(lm, template, oh, ow)))(lms)  # (N, F, 4)
+
+    def full_path(_):
+        return jax.vmap(lambda f, bs: crop_resize(
+            f.astype(jnp.float32), bs, (c_win, c_win), "linear",
+            saturate=False))(frames, boxes)
+
+    use_slice = (slice_win is not None and slice_win < max(h, w)
+                 and slice_win <= h and slice_win <= w)
+    if not use_slice:
+        wins = full_path(None)
+    else:
+        s = slice_win
+
+        def sliced_path(_):
+            def per_face(frame, box):
+                ox = jnp.clip(jnp.floor(box[0]) - 1, 0, w - s
+                              ).astype(jnp.int32)
+                oy = jnp.clip(jnp.floor(box[1]) - 1, 0, h - s
+                              ).astype(jnp.int32)
+                win = jax.lax.dynamic_slice(frame, (oy, ox, 0), (s, s, 3))
+                # boxes stay in FULL-frame coordinates; crop_resize shifts
+                # the integer tap indices by the origin (bit-identical to
+                # the full-frame path — see _dynamic_axis_matrix)
+                return crop_resize(win.astype(jnp.float32)[None],
+                                   box[None], (c_win, c_win), "linear",
+                                   saturate=False,
+                                   origins=jnp.stack([ox, oy])[None])[0]
+            return jax.vmap(lambda f, bs: jax.vmap(
+                lambda b: per_face(f, b))(bs))(frames, boxes)
+
+        sides = boxes[..., 2] - boxes[..., 0]
+        fits = jnp.all(sides <= s - 4)
+        wins = jax.lax.cond(fits, sliced_path, full_path, None)
+
+    def one_face(win, lm, box):
+        return _shear_passes(win, lm, box, template, c_win, oh, ow, dtype)
+
+    return jax.vmap(jax.vmap(one_face))(wins, lms, boxes)
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw",))

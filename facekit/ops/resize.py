@@ -27,7 +27,7 @@ cosine parity budget (see tests/test_resize.py).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -149,13 +149,21 @@ def letterbox(img: jnp.ndarray, target_hw: Tuple[int, int],
 
 
 def _dynamic_axis_matrix(lo: jnp.ndarray, hi: jnp.ndarray, in_size: int,
-                         out_size: int, method: str) -> jnp.ndarray:
+                         out_size: int, method: str,
+                         origin=None) -> jnp.ndarray:
     """In-graph (out_size, in_size) matrix resampling the [lo, hi) crop.
 
     ``lo``/``hi`` are traced scalars (already floor-truncated to integers by
     the caller, mirroring the reference's float->cv::Point truncation at
     ``src/arcface.cpp:6``). Sampling coordinates are clamped to the crop, so
     border replication matches cropping-then-resizing.
+
+    ``origin`` (integral scalar): the source array is a WINDOW cut from a
+    larger image at this offset; lo/hi stay in the original coordinates.
+    Positions and weights are computed in full coordinates and only the
+    integer tap indices are shifted — shifting ``lo`` instead would change
+    f32 rounding of the positions and break bit-parity with the
+    full-frame path (measured: ~1e-5 relative weight drift).
     """
     kernel, support = _KERNELS[method]
     lo = lo.astype(jnp.float32)
@@ -167,8 +175,9 @@ def _dynamic_axis_matrix(lo: jnp.ndarray, hi: jnp.ndarray, in_size: int,
     frac = src - base
     w = jnp.zeros((out_size, in_size), dtype=jnp.float32)
     cols = jnp.arange(in_size, dtype=jnp.float32)[None, :]
+    shift = 0.0 if origin is None else origin.astype(jnp.float32)
     for t in _tap_offsets(support):
-        idx = jnp.clip(base + t, lo, hi - 1.0)
+        idx = jnp.clip(base + t, lo, hi - 1.0) - shift
         wt = kernel(jnp.asarray(float(t)) - frac)
         w = w + wt[:, None] * (cols == idx[:, None]).astype(jnp.float32)
     return w
@@ -178,7 +187,8 @@ def _dynamic_axis_matrix(lo: jnp.ndarray, hi: jnp.ndarray, in_size: int,
     jax.jit, static_argnames=("out_hw", "method", "saturate"))
 def crop_resize(frame: jnp.ndarray, boxes: jnp.ndarray,
                 out_hw: Tuple[int, int] = (112, 112),
-                method: str = "cubic", saturate: bool = True) -> jnp.ndarray:
+                method: str = "cubic", saturate: bool = True,
+                origins: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Crop each box from ``frame`` and resize, fused as two matmuls per face.
 
     ``frame``: (H, W, C) float; ``boxes``: (F, 4) as (x1, y1, x2, y2) in
@@ -186,17 +196,30 @@ def crop_resize(frame: jnp.ndarray, boxes: jnp.ndarray,
     convention, not the reference's swapped one; see SURVEY.md §2 quirks).
     Returns (F, out_h, out_w, C). Equivalent to OpenCV INTER_CUBIC resize of
     ``frame[y1:y2, x1:x2]`` (reference ``src/arcface.cpp:3-17``).
+
+    ``origins`` (F, 2) integral (x, y): ``frame`` is a per-face WINDOW cut
+    from a larger image at these offsets, while ``boxes`` stay in the
+    original coordinates — the windowed-align path; results are
+    bit-identical to cropping from the full image (see
+    _dynamic_axis_matrix's origin note). With origins, ``frame`` must be
+    (F, H, W, C) (one window per face).
     """
-    h, w, c = frame.shape
+    h, w, c = frame.shape[-3:]
     oh, ow = out_hw
     frame = frame.astype(jnp.float32)
 
-    def one(box):
+    def one(box, frame, origin):
         x1, y1, x2, y2 = jnp.floor(box)
-        wr = _dynamic_axis_matrix(y1, y2, h, oh, method)   # (oh, H)
-        wc = _dynamic_axis_matrix(x1, x2, w, ow, method)   # (ow, W)
+        oxy = (None, None) if origin is None else (origin[0], origin[1])
+        wr = _dynamic_axis_matrix(y1, y2, h, oh, method,
+                                  origin=oxy[1])          # (oh, H)
+        wc = _dynamic_axis_matrix(x1, x2, w, ow, method,
+                                  origin=oxy[0])          # (ow, W)
         tmp = jnp.einsum("oh,hwc->owc", wr, frame)
         out = jnp.einsum("pw,owc->opc", wc, tmp)
         return saturate_uint8(out) if saturate else out
 
-    return jax.vmap(one)(boxes.astype(jnp.float32))
+    boxes = boxes.astype(jnp.float32)
+    if origins is None:
+        return jax.vmap(lambda b: one(b, frame, None))(boxes)
+    return jax.vmap(one)(boxes, frame, origins.astype(jnp.float32))

@@ -28,7 +28,7 @@ from facekit.config import FaceKitConfig
 from facekit.models.arcface import arcface_apply
 from facekit.models.lightdet import lightdet_apply
 from facekit.models.retinaface import retinaface_apply
-from facekit.ops.align import warp_align
+from facekit.ops.align import warp_align, warp_align_frames
 from facekit.ops.anchors import (RETINAFACE_MIN_SIZES, RETINAFACE_STEPS,
                                  SLIM_RFB_MIN_SIZES, SLIM_RFB_STEPS,
                                  generate_anchors)
@@ -122,6 +122,8 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
     noted in SURVEY.md §2).
     """
     n = frames.shape[0]
+    raw = frames          # uint8 pass-through for the align path (the
+    #                       opt-in windowed variant slices it at 1 B/px)
     frames = frames.astype(jnp.float32)
     x = det_normalize(letterbox(frames, det_hw))
     loc, conf, ldm = _detector_forward(det_params, x, det_network, dtype)
@@ -137,9 +139,7 @@ def _recognize_frames(det_params, rec_params, frames, *, frame_hw, det_hw,
                              nms_exact=nms_exact, ldm=ldm)
 
     if align and use_landmarks:
-        faces = jax.vmap(lambda f, lm: warp_align(f, lm, rec_hw,
-                                                  dtype=dtype))(
-            frames, det.landmarks)
+        faces = warp_align_frames(raw, det.landmarks, rec_hw, dtype=dtype)
     else:
         faces = jax.vmap(lambda f, b: crop_resize(f, b, rec_hw, "cubic"))(
             frames, det.boxes)
@@ -382,7 +382,11 @@ class FacePipeline:
                    for b in crop_batches)
         self.rec_params = calibrate_arcface_int8(
             self._rec_params_float, batches,
-            network=self.config.rec_network, headroom=headroom)
+            network=self.config.rec_network, headroom=headroom,
+            # s8-resident inter-block activations (calibrated-only mode;
+            # drift + device numbers in docs/ROADMAP.md round 4)
+            int8_residual=bool(
+                self.config.extras.get("rec_int8Residual", False)))
 
     # -- device programs -----------------------------------------------------
 

@@ -196,3 +196,54 @@ def test_warp_shear_large_output_resolution(reference_dir):
                                     out_hw=(224, 224)))[0]
     d = np.abs(a[8:-8, 8:-8] - b[8:-8, 8:-8])
     assert d.mean() < 2.0, d.mean()
+
+
+def test_warp_align_frames_windowed_bit_identical(rng):
+    """The windowed batched path (uint8 dynamic-slice + S x S crop-resize)
+    must be BIT-identical to the full-frame path: crop_resize clamps taps
+    to the box, origins are integral, and zero-weight columns contribute
+    exact zeros. Covers interior faces, frame-edge faces (origin clamp),
+    and the oversize fallback."""
+    import jax
+    from facekit.ops.align import warp_align_frames
+
+    frames = rng.integers(0, 256, size=(2, 480, 640, 3), dtype=np.uint8)
+    lms = np.stack([
+        np.stack([_mk_lm(0.3, 1.2, 320, 240),     # interior
+                  _mk_lm(-0.6, 0.8, 20, 30)]),    # upper-left edge
+        np.stack([_mk_lm(1.2, 1.5, 620, 460),     # lower-right edge
+                  # NOT an exact-integer translation: identity-transform
+                  # landmarks put the window box exactly on integer
+                  # boundaries, where a 1e-5 umeyama rounding difference
+                  # between the batched and single-frame compilations
+                  # flips crop_resize's floor() and shifts the window a
+                  # pixel (pre-existing batch-vs-single nondeterminism,
+                  # orthogonal to windowing — the windowed-vs-full
+                  # assertions below share one compilation and are exact)
+                  _mk_lm(0.1, 1.07, 100.37, 400.61)]),
+    ]).astype(np.float32)                          # (2, 2, 5, 2)
+
+    full = np.asarray(warp_align_frames(jnp.asarray(frames),
+                                        jnp.asarray(lms), slice_win=None))
+    win = np.asarray(warp_align_frames(jnp.asarray(frames),
+                                       jnp.asarray(lms), slice_win=320))
+    np.testing.assert_array_equal(win, full)
+
+    # one oversized face (scale 4 -> window side > 320) anywhere must take
+    # the full-frame fallback and still produce the full-path result
+    lms_big = lms.copy()
+    lms_big[0, 0] = _mk_lm(0.3, 4.0, 320, 240)
+    full_b = np.asarray(warp_align_frames(jnp.asarray(frames),
+                                          jnp.asarray(lms_big),
+                                          slice_win=None))
+    win_b = np.asarray(warp_align_frames(jnp.asarray(frames),
+                                         jnp.asarray(lms_big),
+                                         slice_win=320))
+    np.testing.assert_array_equal(win_b, full_b)
+
+    # and the batched-frames full path equals the single-frame reference
+    # (separate compilations: f32-rounding-level tolerance, not exactness)
+    singles = np.stack([np.asarray(warp_align_shear(
+        jnp.asarray(frames[i], jnp.float32), jnp.asarray(lms[i])))
+        for i in range(2)])
+    np.testing.assert_allclose(full, singles, atol=0.05)

@@ -265,3 +265,38 @@ def test_pipeline_rec_quantize_roundtrip(rng):
     eq = pipe_q.embed_cropped_batch(crops)
     cos = (ef * eq).sum(-1)
     assert (1 - cos).max() < 2e-2, 1 - cos
+
+
+def test_arcface_int8_residual_drift(rng):
+    """int8-RESIDUAL mode (s8-resident inter-block activations, calibrated
+    oscales): vs the plain calibrated-int8 embedder the only numerics
+    delta is one 127-level quantization per block output, so the cosine
+    drift vs f32 must stay in the same band as calibrated int8's, and the
+    params must carry one oscale per block + stem."""
+    import jax
+    import jax.numpy as jnp
+    from facekit.models.arcface import (arcface_apply, arcface_init,
+                                        calibrate_arcface_int8,
+                                        quantize_arcface_params)
+    p = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    x = jnp.asarray(rng.uniform(-1, 1, size=(4, 112, 112, 3))
+                    .astype(np.float32))
+    cal = [np.asarray(x)]
+    pq = calibrate_arcface_int8(p, cal, network="ir_tiny", headroom=1.25)
+    pr = calibrate_arcface_int8(p, cal, network="ir_tiny", headroom=1.25,
+                                int8_residual=True)
+    assert "oscale" in pr["input"]
+    assert all("oscale" in b for b in pr["blocks"])
+    e = np.asarray(arcface_apply(p, x, network="ir_tiny"))
+    eq = np.asarray(arcface_apply(pq, x, network="ir_tiny"))
+    er = np.asarray(arcface_apply(pr, x, network="ir_tiny"))
+    np.testing.assert_allclose(np.linalg.norm(er, axis=1), 1.0, atol=1e-5)
+    drift_q = (1 - (e * eq).sum(-1)).max()
+    drift_r = (1 - (e * er).sum(-1)).max()
+    # residual quantization may add drift but must stay the same order
+    assert drift_r < max(5 * drift_q, 2e-2), (drift_q, drift_r)
+
+    # dynamic (uncalibrated) residual mode must refuse loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="int8_residual"):
+        quantize_arcface_params(p, int8_residual=True)
