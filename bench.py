@@ -230,6 +230,26 @@ def main():
             # wall number tracks the device number under pipelining
             slots_per_sec = extra["device_slots_per_sec"]
 
+        # batch-1 point: the LONE-REQUEST latency the shipped bucket
+        # ladder serves (configs/default.json server_batchBuckets [1, 8]
+        # — an idle-device request dispatches alone on the batch-1
+        # program instead of padding to 8). Failure-tolerant like every
+        # post-headline section.
+        try:
+            _log("profiling batch-1 (lone-request) device time...")
+            fbs1 = [np.roll(fb[j % 8][None], j, axis=1).copy()
+                    for j in range(5)]
+            for j, f in enumerate(fbs1):
+                f[0, 3, 3, 0] ^= np.uint8(j + 1)
+            warm1 = fb[7][None] ^ np.uint8(3)
+            pipe.recognize_frames(warm1).embeddings.block_until_ready()
+            dev1 = device_time_per_call(
+                lambda j: pipe.recognize_frames(fbs1[j]).embeddings, 5)
+            if dev1:
+                extra["batch1_device_ms"] = dev1 * 1e3
+        except Exception as e:  # pragma: no cover - bench resilience
+            _log(f"batch-1 section skipped: {e}")
+
         # batch-16 point (server_batchSize=16, a stock serving config):
         # ArcFace convs are compute-bound, so the bigger dispatch amortizes
         # the fixed per-batch work. The headline reports the better of the

@@ -386,10 +386,13 @@ def main(argv=None) -> None:
     ex = sub.add_parser("export")
     ex.add_argument("-c", "--config", default=None)
     ex.add_argument("-o", "--out-dir", default="engines")
-    ex.add_argument("-b", "--batch-size", default="8",
+    ex.add_argument("-b", "--batch-size", default=None,
                     help="batch size, or comma list matching the server's "
-                         "server_batchBuckets ladder (e.g. '8,64'): one "
-                         "recognize/embed engine pair per bucket")
+                         "server_batchBuckets ladder (e.g. '1,8,64'): one "
+                         "recognize/embed engine pair per bucket. Default: "
+                         "the config's own server_batchBuckets (else "
+                         "server_batchSize, else 8), i.e. exactly the "
+                         "ladder the server will demand at --engines load")
     ex.add_argument("--no-crops", action="store_true",
                     help="recognize engines omit the per-face crops output "
                          "(smaller transfers; NOT loadable by the server's "
@@ -429,7 +432,14 @@ def main(argv=None) -> None:
              else args.platforms.split(","))
 
     os.makedirs(args.out_dir, exist_ok=True)
-    batches = sorted({int(b) for b in str(args.batch_size).split(",")})
+    if args.batch_size is None:
+        # mirror FaceServer's ladder resolution so the exported set is
+        # exactly what `--engines` validation will require for this config
+        raw = (cfg.extras.get("server_batchBuckets")
+               or [cfg.extras.get("server_batchSize", 8)])
+        batches = sorted({int(b) for b in raw})
+    else:
+        batches = sorted({int(b) for b in str(args.batch_size).split(",")})
     for b in batches:
         # one engine pair per batch bucket; the bare name (single-batch
         # export) stays the documented artifact name

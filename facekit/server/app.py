@@ -263,12 +263,13 @@ class FaceServer:
         from facekit.utils import LatencyTracker
         self.metrics = LatencyTracker()
         # micro-batching knobs (facekit extension; see server/batcher.py).
-        # server_batchBuckets (e.g. [8, 64]) compiles a LADDER of padded
-        # batch shapes: each dispatch pads to the smallest bucket that
-        # fits the queue, so a lone request pays the small program's
-        # latency (~4.6 ms at 8) while bursts get the big program's
-        # throughput (batch-64 knee, docs/ROADMAP.md). Default: the single
-        # server_batchSize bucket (one compile, the r1 behavior).
+        # server_batchBuckets (e.g. [1, 8, 64]) compiles a LADDER of
+        # padded batch shapes: each dispatch pads to the smallest bucket
+        # that fits the queue, so a lone request pays the batch-1
+        # program's latency (1.22 ms bf16 vs 4.42 padded to 8) while
+        # bursts get the big program's throughput (batch-64 knee,
+        # docs/ROADMAP.md). Default: the single server_batchSize bucket
+        # (one compile, the r1 behavior).
         self.batch_size = int(config.extras.get("server_batchSize", 8))
         raw_buckets = config.extras.get("server_batchBuckets")
         buckets = ([int(b) for b in raw_buckets] if raw_buckets
@@ -670,7 +671,13 @@ def make_app(server: FaceServer):
         return response
 
     async def insert_face(request):
-        body = await request.text()
+        # decode manually: a non-UTF-8 (e.g. raw image) body must reach
+        # the JSON-failure contract path ("Please check json input"), as
+        # the reference's json::parse over raw bytes does — not 500
+        try:
+            body = (await request.read()).decode("utf-8")
+        except UnicodeDecodeError:
+            return web.Response(text="Please check json input\n")
         response = await run_blocking(_insert_face_sync, body)
         return web.Response(text=response)
 

@@ -96,6 +96,10 @@ async def test_insert_face_bad_json(face_server):
         assert await r.text() == "Please check json input\n"
         r = await client.post("/insert/face", data=json.dumps({"foo": 1}))
         assert await r.text() == "Cant find field `data` in input!\n"
+        # a binary (non-UTF-8) body — e.g. a raw JPEG POSTed by mistake —
+        # must hit the same json-failure contract path, not 500
+        r = await client.post("/insert/face", data=b"\xff\xd8\xff\xe0junk")
+        assert await r.text() == "Please check json input\n"
 
 
 async def test_recognize_empty_gallery_returns_null(face_server, rng):
@@ -738,11 +742,11 @@ async def test_batch_bucket_ladder(tmp_path_factory, rng):
         det_inputShape=(3, 64, 64), det_network="slim",
         rec_network="ir_tiny", compute_dtype="float32",
         use_pallas_search=False,
-        extras={"server_batchSize": 4, "server_batchBuckets": [2, 4]})
+        extras={"server_batchSize": 4, "server_batchBuckets": [1, 2, 4]})
     det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
     rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
     srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
-    assert srv.batch_buckets == [2, 4] and srv.batch_size == 4
+    assert srv.batch_buckets == [1, 2, 4] and srv.batch_size == 4
     emb = rng.normal(0, 1, size=(2, 512)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     srv.gallery.load(["a", "b"], emb)
@@ -759,13 +763,13 @@ async def test_batch_bucket_ladder(tmp_path_factory, rng):
     async with make_client(srv) as client:
         r = await client.post("/recognize", data=data)
         assert json.loads(await r.text())["userId"] in ("a", "b")
-        assert dispatched[-1] == 2            # lone request -> small bucket
+        assert dispatched[-1] == 1   # lone request -> batch-1 program
         import asyncio
         rs = await asyncio.gather(*[client.post("/recognize", data=data)
                                     for _ in range(4)])
         for r in rs:
             json.loads(await r.text())
-    assert set(dispatched) <= {2, 4}, dispatched
+    assert set(dispatched) <= {1, 2, 4}, dispatched
     assert sum(dispatched) >= 5               # 1 + the burst
 
 
@@ -781,6 +785,11 @@ def test_throughput_config_profile_loads():
     assert cfg.compute_dtype == "bfloat16"
     assert int(cfg.extras["server_batchSize"]) == 64
     assert cfg.extras["rec_calibrationDir"]
+    # both shipped profiles ship the batch-1 lone-request bucket (r4)
+    assert list(cfg.extras["server_batchBuckets"])[0] == 1
+    dcfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                    "configs", "default.json"))
+    assert list(dcfg.extras["server_batchBuckets"]) == [1, 8]
 
 
 def test_config_roundtrip_new_fields(tmp_path):
