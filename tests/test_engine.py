@@ -87,6 +87,26 @@ def test_engine_cli_with_slim_detector(tmp_path):
     assert meta["det_network"] == "slim"
 
 
+def test_engine_cli_defaults_to_config_ladder(tmp_path):
+    """Without -b the CLI exports one engine pair per bucket of the
+    config's OWN server_batchBuckets — exactly the set the server's
+    --engines validation will demand for that config (r4)."""
+    from facekit import engine
+    cfg_path = tmp_path / "ladder.json"
+    cfg_path.write_text(json.dumps({
+        "det_network": "slim", "rec_network": "ir_tiny",
+        "det_inputShape": [3, 64, 64],
+        "input_frameWidth": 160, "input_frameHeight": 120,
+        "compute_dtype": "float32",
+        "server_batchBuckets": [1, 2]}))
+    out = tmp_path / "engines"
+    engine.main(["export", "-c", str(cfg_path), "-o", str(out)])
+    for sfx in ("b1", "b2"):
+        for prog in ("recognize", "embed"):
+            _, meta = load_engine(str(out / f"{prog}.{sfx}.fke"))
+            assert meta["batch_size"] == int(sfx[1])
+
+
 def test_engine_meta_records_quantization_state(tiny_pipe, tmp_path, rng):
     """Engine meta must carry rec_quantize/rec_calibrated so a loader can
     detect a params-signature mismatch up front instead of an opaque
