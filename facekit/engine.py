@@ -111,6 +111,17 @@ def export_recognize_engine(pipeline, batch_size: int,
         "compute_dtype": cfg.compute_dtype,
         "return_crops": bool(return_crops),
         "platforms": list(exp.platforms),
+        # detection statics are frozen into the traced program just like
+        # the geometry — without them in meta a stale-threshold artifact
+        # would load silently and detect at the OLD threshold while the
+        # in-process jit paths use the new one (r4 review finding)
+        "det_hw": list(cfg.det_hw),
+        "det_threshold_bbox": cfg.det_threshold_bbox,
+        "det_threshold_nms": cfg.det_threshold_nms,
+        "det_nms_top_k": cfg.det_nmsTopK,
+        "det_nms_exact": bool(cfg.det_nmsExact),
+        "align": bool(pipeline.align),
+        "with_landmarks": bool(pipeline.use_landmarks),
         **_quant_meta(pipeline),
     }
     return exp.serialize(), meta
@@ -356,6 +367,18 @@ def load_serving_engines(engines_dir: str, config,
             _check_meta(path, meta, "frame_hw", list(cfg.frame_hw))
             _check_meta(path, meta, "max_faces", cfg.det_maxFacesPerScene)
             _check_meta(path, meta, "det_network", pipeline.det_network)
+            # detection statics frozen into the program (r4): a stale
+            # artifact must refuse, not silently detect at old settings
+            _check_meta(path, meta, "det_hw", list(cfg.det_hw))
+            _check_meta(path, meta, "det_threshold_bbox",
+                        cfg.det_threshold_bbox)
+            _check_meta(path, meta, "det_threshold_nms",
+                        cfg.det_threshold_nms)
+            _check_meta(path, meta, "det_nms_top_k", cfg.det_nmsTopK)
+            _check_meta(path, meta, "det_nms_exact", bool(cfg.det_nmsExact))
+            _check_meta(path, meta, "align", bool(pipeline.align))
+            _check_meta(path, meta, "with_landmarks",
+                        bool(pipeline.use_landmarks))
             if not meta.get("return_crops"):
                 raise ValueError(
                     f"{path}: recognize engine was exported without the "

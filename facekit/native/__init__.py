@@ -141,6 +141,11 @@ def decode_jpeg_bgr(data: bytes,
         return None
     buf = np.frombuffer(data, np.uint8)
     h, w = ctypes.c_int(), ctypes.c_int()
+    # two-call protocol on purpose: the dims pre-parse (~10-30 us
+    # jpeg_read_header) lets fk_jpeg_decode_bgr write straight into the
+    # final exact-size numpy buffer. A single-pass C API would have to
+    # return its own allocation, and the copy into a standalone array
+    # (~100 us at 640x480) costs more than the header re-parse it saves.
     if lib.fk_jpeg_dims(_u8(buf), len(data), ctypes.byref(h),
                         ctypes.byref(w)) != 0:
         return None

@@ -129,7 +129,12 @@ def host_pixels(config=None):
         try:
             return _Cv2Pixels()
         except ImportError:
-            pass
+            # implicit fallback must be LOUD: the native backend decodes
+            # JPEG only, so PNG frames/enrollment files would otherwise
+            # fail indistinguishably from corrupt input (r4 review finding)
+            log.warning("cv2 not importable; host pixel work falls back "
+                        "to the native backend (JPEG-only — PNG inputs "
+                        "will decode as None)")
     return _NativePixels()
 
 
@@ -167,7 +172,17 @@ def calibrate_from_config(pipeline, config) -> bool:
     missing/empty folder degrades to dynamic scales with a warning rather
     than refusing to start."""
     calib_dir = config.extras.get("rec_calibrationDir")
+    residual = bool(config.extras.get("rec_int8Residual", False))
     if not (calib_dir and getattr(config, "rec_quantize", False)):
+        if residual:
+            # the flag is consumed inside calibrate_embedder only —
+            # without calibration it would be SILENTLY ignored and the
+            # server would serve plain dynamic int8 while the operator
+            # believes residual mode is on (r4 review finding)
+            raise ValueError(
+                "rec_int8Residual requires rec_quantize AND "
+                "rec_calibrationDir (s8-resident residuals need "
+                "calibrated per-block output scales)")
         return False
     from facekit.pipeline.recognize import CALIBRATION_HEADROOM
     headroom = float(config.extras.get("rec_calibrationHeadroom",
@@ -181,6 +196,8 @@ def calibrate_from_config(pipeline, config) -> bool:
                  calib_dir, headroom)
         return True
     except (OSError, ValueError) as e:
+        if residual:   # degrading would silently drop residual mode
+            raise
         log.warning("int8 calibration skipped (%s); "
                     "using dynamic activation scales", e)
         return False

@@ -165,6 +165,22 @@ def test_engine_server_rejects_mismatched_artifacts(tmp_path, params):
                    rec_params=rec, warmup=False, engines_dir=str(out))
 
 
+def test_engine_server_rejects_stale_det_threshold(tmp_path, params,
+                                                   engines_dir):
+    """Detection statics (thresholds, NMS knobs) are frozen into the
+    traced program like the geometry; an artifact exported at a different
+    det_threshold_bbox must refuse — otherwise the engine hot path would
+    silently detect at the OLD threshold while the in-process jit paths
+    (e.g. /insert/face) use the new one (r4 review finding)."""
+    det, rec = params
+    import dataclasses
+    cfg = dataclasses.replace(_cfg(str(tmp_path / "t.db")),
+                              det_threshold_bbox=0.3)
+    with pytest.raises(ValueError, match="det_threshold_bbox"):
+        FaceServer(cfg, det_params=det, rec_params=rec, warmup=False,
+                   engines_dir=engines_dir)
+
+
 def test_engine_server_rejects_missing_bucket(tmp_path, params, engines_dir):
     """Every ladder bucket needs an engine pair; the error says how to
     export the full ladder."""

@@ -773,6 +773,21 @@ async def test_batch_bucket_ladder(tmp_path_factory, rng):
     assert sum(dispatched) >= 5               # 1 + the burst
 
 
+def test_int8_residual_requires_calibration_config():
+    """extras.rec_int8Residual is consumed inside calibrate_embedder
+    only; a config that can never reach calibration (no rec_quantize or
+    no rec_calibrationDir) must refuse loudly instead of silently
+    serving plain int8 while the operator believes residual mode is on
+    (r4 review finding)."""
+    from facekit.server.app import calibrate_from_config
+    for quant in (False, True):   # missing dir, with and without quantize
+        cfg = FaceKitConfig(rec_quantize=quant,
+                            extras={"rec_int8Residual": True})
+        with pytest.raises(ValueError, match="rec_int8Residual"):
+            # the check fires before the pipeline is touched
+            calibrate_from_config(None, cfg)
+
+
 def test_throughput_config_profile_loads():
     """configs/throughput.json parses: typed fields land, serving knobs
     land in extras, and it selects the measured throughput configuration
