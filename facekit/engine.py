@@ -38,6 +38,7 @@ import numpy as np
 from jax import export as jax_export
 
 from facekit.config import FaceKitConfig
+from facekit.utils import tpu_default_backend
 
 _MAGIC = "facekit-engine-v1"
 
@@ -237,7 +238,7 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
             use_landmarks=pipeline.use_landmarks, align=pipeline.align,
             rec_network=cfg.rec_network, dtype=pipeline.dtype,
             return_crops=False, k=cfg.gallery_topk,
-            use_pallas=(mesh is not None or _tpu_default()),
+            use_pallas=(mesh is not None or tpu_default_backend()),
             det_network=pipeline.det_network,
             gallery_scale=rest[0] if rest else None,
             mesh=mesh, gallery_axis="gallery", data_axis="data",
@@ -268,13 +269,6 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
         **_quant_meta(pipeline),
     }
     return exp.serialize(), meta
-
-
-def _tpu_default() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
 
 
 def save_engine(path: str, blob: bytes, meta: Dict[str, Any]) -> None:

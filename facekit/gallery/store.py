@@ -202,7 +202,11 @@ class GalleryStore:
         emb = np.asarray(embedding, np.float32).reshape(1, self.embed_dim)
         with self._lock:
             i = len(self._names)
-            self._names.append(name)
+            # copy-on-write: snapshot() hands out self._names UNCOPIED
+            # (an O(capacity) list copy per micro-batch is real host work
+            # at the 1M-row target), so mutations must build a new list
+            # instead of appending in place under a live snapshot
+            self._names = self._names + [name]
             if i >= self.capacity:
                 # bucket growth: host buffer + device array rebuild
                 buf = np.zeros((_bucket_capacity(i + 1, self.buckets),
@@ -236,8 +240,11 @@ class GalleryStore:
         """Atomic (array, count, names, scales) view, for callers that fuse
         the search into a larger jitted program."""
         with self._lock:
+            # the names list is shared, not copied (copy-on-write: every
+            # mutation rebinds self._names to a fresh list) — snapshot
+            # holders treat it as immutable
             return GallerySnapshot(self._device_arr, len(self._names),
-                                   list(self._names), self._scales)
+                                   self._names, self._scales)
 
     def search(self, queries: jnp.ndarray, k: int = 1,
                interpret: bool = False) -> Tuple[np.ndarray, np.ndarray, List[str]]:
@@ -278,7 +285,5 @@ class GalleryStore:
 
 def _pallas_backend() -> bool:
     """True when the default backend can run the TPU Pallas kernels."""
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    from facekit.utils import tpu_default_backend
+    return tpu_default_backend()

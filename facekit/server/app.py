@@ -260,11 +260,10 @@ class FaceServer:
             mesh=mesh)
         self.user_dict: Dict[str, str] = self.db.get_user_dict()
         # bucket-precompile state (must exist before the first reload):
-        # _warm_caps = capacities whose full serving-program ladder is
-        # KNOWN compiled; _warm_events = capacities CLAIMED (in progress
-        # or done) — a concurrent warm of the same capacity waits on the
-        # claimant's event instead of tracing the whole ladder twice
-        self._warm_caps: set = set()
+        # _warm_events = capacities CLAIMED (event set once compiled) —
+        # a concurrent warm of the same capacity waits on the claimant's
+        # event instead of tracing the whole ladder twice; a FAILED warm
+        # pops its entry, so entry-present + event-set == known compiled
         self._warm_events: Dict[int, threading.Event] = {}
         self._warm_lock = threading.Lock()
         self._warm_enabled = False          # flipped on after init warmup
@@ -362,7 +361,6 @@ class FaceServer:
                     self.pipeline.recognize_frame(
                         np.zeros((fh, fw, 3), np.uint8))
             cap0 = self.gallery.capacity
-            self._warm_caps.add(cap0)
             ev0 = threading.Event()
             ev0.set()
             self._warm_events[cap0] = ev0
@@ -430,6 +428,16 @@ class FaceServer:
                 owner = False
         if not owner:
             ev.wait()
+            with self._warm_lock:
+                succeeded = self._warm_events.get(cap) is ev
+            if not succeeded:
+                # the claimant FAILED (it pops its entry before setting
+                # the event): returning here would let a racing /reload
+                # swap the gallery in with UNCOMPILED programs and pay
+                # the bucket-growth recompile on the serving path.
+                # Retry — either this caller becomes the new claimant
+                # (and surfaces the error) or it waits on one that did.
+                return self._warm_capacity(cap)
             return
         try:
             arr, scales = self.gallery.dummy_at_capacity(cap)
@@ -439,8 +447,6 @@ class FaceServer:
                 self._warm_events.pop(cap, None)
             ev.set()
             raise
-        with self._warm_lock:
-            self._warm_caps.add(cap)
         ev.set()
         log.info("serving programs warmed for gallery capacity %d", cap)
 
@@ -632,8 +638,13 @@ def make_app(server: FaceServer):
             return "Please check json input\n"
         if "data" not in j:
             return "Cant find field `data` in input!\n"
-        for el in j["data"]:
-            try:
+        # the try wraps the WHOLE loop (reference src/app.cpp:131-217:
+        # `catch (const char *s)` sits outside it): a failed element
+        # ABORTS the batch — remaining elements are not inserted — and
+        # the error string REPLACES any accumulated successes. Earlier
+        # elements' DB inserts persist, exactly like the reference.
+        try:
+            for el in j["data"]:
                 user_id = el["userId"]
                 img_path = el["imgPath"]
                 if not os.path.isfile(img_path):
@@ -651,12 +662,18 @@ def make_app(server: FaceServer):
                     rh_, rw_ = cfg.rec_hw
                     if image.shape[:2] != (rh_, rw_):
                         image = px.resize(image, (rw_, rh_))
-                    emb = server.pipeline.embed_cropped(image)
+                    # only the DEVICE call rides the device executor; the
+                    # decode/resize above and the fsync-ing DB insert
+                    # below run on this (decode-pool) thread so a bulk
+                    # enrollment can't stall serving dispatches
+                    emb = server.executor.submit(
+                        server.pipeline.embed_cropped, image).result()
                     ret = 1
                 else:
                     frame = px.resize(image, (cfg.input_frameWidth,
                                               cfg.input_frameHeight))
-                    res = server.pipeline.recognize_frame(frame)
+                    res = server.executor.submit(
+                        server.pipeline.recognize_frame, frame).result()
                     nvalid = int(np.asarray(res.valid).sum())
                     if nvalid > 1:
                         response += ("There are more than 1 faces in input "
@@ -682,9 +699,9 @@ def make_app(server: FaceServer):
                     else:
                         response += (f"Fail! Embedding for `{user_id}` "
                                      "cannot be inserted.\n")
-            except RuntimeError as e:
-                log.warning("Exception: %s", e)
-                response = f"{e}\n"
+        except RuntimeError as e:
+            log.warning("Exception: %s", e)
+            response = f"{e}\n"
         return response
 
     async def insert_face(request):
@@ -695,7 +712,13 @@ def make_app(server: FaceServer):
             body = (await request.read()).decode("utf-8")
         except UnicodeDecodeError:
             return web.Response(text="Please check json input\n")
-        response = await run_blocking(_insert_face_sync, body)
+        # decode pool, NOT the device executor: the handler is host work
+        # (imread/resize + per-element fsync commits) with only the
+        # embed/recognize calls hopping to the device thread — running it
+        # all on the one-worker device executor would stall every
+        # /recognize and WS batch for the whole bulk insert (r4 review
+        # finding; same rule as run_db at its definition)
+        response = await run_db(_insert_face_sync, body)
         return web.Response(text=response)
 
     # -- GET /delete/user, /delete/face (src/app.cpp:219-241) ----------------
@@ -837,24 +860,34 @@ def make_app(server: FaceServer):
 
     async def _inference_one(data: bytes) -> str:
         """One WS frame -> reply string (the reference's per-message
-        semantics, src/app.cpp:289-352)."""
-        with server.metrics.time("inference",
-                                 count=cfg.det_maxFacesPerScene):
-            frame = await run_decode(
-                data, (cfg.input_frameWidth, cfg.input_frameHeight))
+        semantics, src/app.cpp:289-352). ANY per-frame failure — decode,
+        a transient device error out of the batcher, reply encode — maps
+        to the contract "null" (src/app.cpp:340-343); an escaping
+        exception would kill the sender task and silently hang the
+        connection while the reader keeps accepting frames."""
+        try:
+            with server.metrics.time("inference",
+                                     count=cfg.det_maxFacesPerScene):
+                frame = await run_decode(
+                    data, (cfg.input_frameWidth, cfg.input_frameHeight))
+                retval = None
+                if frame is not None:
+                    try:
+                        retval = await inference_batcher.submit(frame)
+                    except QueueFull:
+                        # WS contract has no status codes; the shed reply
+                        # is the contract's failure word (clients already
+                        # handle it), counted separately in /metrics
+                        retval = None
+                if retval is not None:
+                    loop = asyncio.get_running_loop()
+                    retval = await loop.run_in_executor(
+                        server.decode_pool, _encode_reply, retval)
+        except asyncio.CancelledError:
+            raise
+        except Exception:
+            log.exception("inference frame failed; replying null")
             retval = None
-            if frame is not None:
-                try:
-                    retval = await inference_batcher.submit(frame)
-                except QueueFull:
-                    # WS contract has no status codes; the shed reply is
-                    # the contract's failure word (clients already handle
-                    # it), counted separately in /metrics
-                    retval = None
-            if retval is not None:
-                loop = asyncio.get_running_loop()
-                retval = await loop.run_in_executor(
-                    server.decode_pool, _encode_reply, retval)
         return "null" if retval is None else json.dumps(retval)
 
     # per-connection in-flight window (facekit extension; default 1 ==

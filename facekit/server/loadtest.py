@@ -191,6 +191,11 @@ async def amain(args) -> Dict:
     conc = [int(c) for c in args.concurrency.split(",")]
     reqs = [int(r) for r in args.requests.split(",")]
     assert len(conc) == len(reqs)
+    if args.grow and args.grow_count <= 4:
+        # 4 payloads seed the gallery; the growth phase inserts
+        # grow_count - 4 — a smaller value would silently measure nothing
+        raise SystemExit("--grow needs --grow-count > 4 "
+                         "(4 payloads are used for the initial seed)")
 
     timeout = aiohttp.ClientTimeout(total=None, sock_read=600)
     results: Dict = {"phases": []}
@@ -210,10 +215,17 @@ async def amain(args) -> Dict:
         with tempfile.TemporaryDirectory() as td:
             await grow_gallery(session, url, crops[n_total:], td,
                                min(4, args.grow_count), prefix="seed")
-        # warm both serving programs once (compile if cold) off the clock
-        async with session.post(url + "/recognize", data=crops[0]) as r:
+        # warm both serving programs once (compile if cold) off the
+        # clock — with DEDICATED payloads: reusing crops[0]/frames[0]
+        # would make phase 1 re-send the warmup body, and the dev tunnel
+        # serves identical executions from cache (one artificially fast
+        # sample in the first phase's percentiles — the uniqueness rule
+        # this file's docstring states applies to the warmup too)
+        warm_crop = make_payloads(1, crop_hw, seed=7)
+        warm_frame = make_payloads(1, frame_hw, seed=8)
+        async with session.post(url + "/recognize", data=warm_crop[0]) as r:
             await r.read()
-        await run_ws_phase(session, url, frames[:1], 1)
+        await run_ws_phase(session, url, warm_frame, 1)
 
         off = 0
         grow_info = None

@@ -90,6 +90,31 @@ async def test_insert_face_missing_path(face_server):
         assert "Image path not found" in await r.text()
 
 
+async def test_insert_face_batch_aborts_like_reference(face_server,
+                                                       tmp_path, rng):
+    """A failing element ABORTS the batch (reference src/app.cpp:131-217
+    puts its catch OUTSIDE the loop): the error string replaces any
+    accumulated successes, earlier elements' DB inserts persist, and
+    later elements are never processed (r4 review finding)."""
+    async with make_client(face_server) as client:
+        data, _ = _jpg(rng, hw=(112, 112))
+        p1, p3 = tmp_path / "one.jpg", tmp_path / "three.jpg"
+        p1.write_bytes(data)
+        p3.write_bytes(data)
+        before = face_server.db.get_num_embeddings()
+        r = await client.post("/insert/face", data=json.dumps({"data": [
+            {"userId": "ok1", "imgPath": str(p1)},
+            {"userId": "bad", "imgPath": "/nonexistent.jpg"},
+            {"userId": "ok2", "imgPath": str(p3)}]}))
+        assert await r.text() == "Image path not found\n"
+        assert face_server.db.get_num_embeddings() == before + 1  # ok1 only
+        # clean up the committed row so later tests' counts are unaffected
+        with face_server.db._lock:
+            face_server.db._conn.execute("DELETE FROM FACE "
+                                         "WHERE USR_ID='ok1'")
+            face_server.db._conn.commit()
+
+
 async def test_insert_face_bad_json(face_server):
     async with make_client(face_server) as client:
         r = await client.post("/insert/face", data="{{{")
@@ -391,6 +416,97 @@ async def test_ws_pipeline_window_preserves_order(tmp_path_factory, rng):
         "pipelined replies out of order or wrong"
 
 
+async def test_ws_frame_device_error_replies_null(tmp_path_factory, rng):
+    """A transient device error mid-frame must map to the WS contract
+    "null" (reference src/app.cpp:340-343) and leave the connection
+    serving — an escaping exception used to kill the sender task and
+    silently hang the socket while the reader kept accepting frames
+    (r4 review finding)."""
+    from facekit.models.lightdet import lightdet_init
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("wse") / "e.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False,
+        extras={"server_batchSize": 2})
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+    emb = rng.normal(size=(1, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    srv.gallery.load(["a"], emb)   # non-empty: frames reach the device call
+
+    def boom(frames, snap):
+        raise RuntimeError("transient device error")
+
+    srv.serving_recognize = boom
+    data, _ = _jpg(rng, hw=(120, 160))
+    data2, _ = _jpg(rng, hw=(120, 160))
+    async with make_client(srv) as client:
+        ws = await client.ws_connect("/inference")
+        await ws.send_bytes(data)
+        assert await ws.receive_str() == "null"
+        # the connection must still be alive and replying
+        await ws.send_bytes(data2)
+        assert await ws.receive_str() == "null"
+        await ws.close()
+
+
+def test_warm_capacity_waiter_retries_after_owner_failure(
+        tmp_path_factory):
+    """A waiter on a claimed capacity must NOT treat the claimant's
+    FAILURE as success (the failure path pops the claim before setting
+    the event): it retries, becoming the new claimant — otherwise a
+    /reload racing a failing prewarm would swap the gallery in with
+    uncompiled programs (r4 review finding)."""
+    import threading
+    import time as _time
+    from facekit.models.lightdet import lightdet_init
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("warm") / "w.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False)
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    srv = FaceServer(cfg, det_params=det, rec_params=rec, warmup=False)
+
+    calls = []
+    owner_started = threading.Event()
+    owner_release = threading.Event()
+
+    def fail_then_ok(arr, count, scales):
+        calls.append(1)
+        if len(calls) == 1:
+            owner_started.set()
+            owner_release.wait(20)
+            raise RuntimeError("transient compile failure")
+
+    srv._warm_serving_programs = fail_then_ok
+    owner_errs = []
+
+    def owner():
+        try:
+            srv._warm_capacity(8)
+        except RuntimeError as e:
+            owner_errs.append(e)
+
+    to = threading.Thread(target=owner)
+    to.start()
+    assert owner_started.wait(20)
+    tw = threading.Thread(target=lambda: srv._warm_capacity(8))
+    tw.start()
+    _time.sleep(0.2)        # let the waiter reach ev.wait()
+    owner_release.set()
+    to.join(20)
+    tw.join(20)
+    assert owner_errs, "owner must surface the failure"
+    assert len(calls) == 2, "waiter must retry as the new claimant"
+    assert srv._warm_events[8].is_set()   # and the retry succeeded
+
+
 async def test_bucket_growth_never_recompiles_on_serving_path(
         tmp_path_factory, tmp_path, rng):
     """VERDICT r2 weak #1: crossing a gallery capacity bucket must NOT
@@ -435,7 +551,8 @@ async def test_bucket_growth_never_recompiles_on_serving_path(
         assert t is not None, "prewarm thread should have been spawned"
         t.join(timeout=120)
         assert not t.is_alive()
-        assert 8 in srv._warm_caps
+        # entry present + event set == capacity 8 known compiled
+        assert srv._warm_events[8].is_set()
 
         sizes = (_recognize_and_match._cache_size(),
                  _embed_and_match._cache_size())
