@@ -11,9 +11,10 @@ EMBEDDING is the raw little-endian float32[dim] buffer exactly as the
 reference binds it (``src/db.cpp:146``), so a database written by the C++
 server loads here unchanged and vice versa.
 
-Return-code conventions mirror the reference (1 = success, negative =
-step/bind/prepare failure) so the HTTP layer can reproduce its response
-strings. Known reference bug fixed here and documented: the C++
+Return-code conventions mirror the reference per method — the inserts
+return 1 on success, the deletes return 0 on success (src/db.cpp:196,
+232), negative = step/bind/prepare failure — so the HTTP layer can
+reproduce its response strings. Known reference bug fixed here and documented: the C++
 ``deleteFace`` targets a nonexistent ``IMAGES_USER`` table
 (``src/db.cpp:172``) and therefore silently never deletes; facekit deletes
 from ``FACE`` (the table the schema actually creates).

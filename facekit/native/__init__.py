@@ -183,7 +183,10 @@ def encode_jpeg_bgr(img: np.ndarray, quality: int = 95) -> Optional[bytes]:
 
 def gallery_top1(gallery: np.ndarray, queries: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """CPU fallback search: (scores (B,), indices (B,))."""
+    """CPU fallback search: (scores (B,), indices (B,)).
+
+    An empty gallery yields index -1 per query (score -1e30) — callers
+    must not map it into a user list as if it matched."""
     lib = _load()
     assert lib is not None, "native library unavailable"
     gallery = np.ascontiguousarray(gallery, np.float32)

@@ -228,6 +228,9 @@ class WsClient {
         continue;
       }
       if (opcode == 0x8) throw std::runtime_error("server closed socket");
+      // unsolicited pong (RFC 6455 5.5.3) or stray continuation: not the
+      // reply — returning it would desynchronize every later recv
+      if (opcode == 0xA || opcode == 0x0) continue;
       return payload;
     }
   }

@@ -269,7 +269,8 @@ void fk_gallery_top1(const float* gallery, int n, int d,
     for (int q = 0; q < b; ++q) {
         const float* qp = queries + (size_t)q * d;
         float best = -1e30f;
-        int best_i = 0;
+        int best_i = -1;   // empty gallery (n == 0) -> idx -1, not a
+                           // phantom "match" at slot 0
         for (int i = 0; i < n; ++i) {
             const float* gp = gallery + (size_t)i * d;
             float acc = 0.f;

@@ -61,11 +61,19 @@ def umeyama(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     t1 = cov[0, 0] + cov[1, 1]
     t2 = cov[1, 0] - cov[0, 1]
     p2 = jnp.maximum(jnp.sqrt(t1 * t1 + t2 * t2), 1e-12)
-    cos_t, sin_t = t1 / p2, t2 / p2
+    # degenerate cov (coincident landmarks — garbage landmark-head
+    # output): t1/p2, t2/p2 would build a ZERO matrix whose affine
+    # inverse divides by det 0, sending NaN through the warp into that
+    # slot's crop and embedding. Fall back to identity rotation + unit
+    # scale (the transform becomes a pure centroid translation — finite,
+    # and as arbitrary as the SVD's U/V are there).
+    degenerate = (t1 * t1 + t2 * t2) < 1e-20
+    cos_t = jnp.where(degenerate, 1.0, t1 / p2)
+    sin_t = jnp.where(degenerate, 0.0, t2 / p2)
     r = jnp.stack([jnp.stack([cos_t, -sin_t]),
                    jnp.stack([sin_t, cos_t])])
-    var_s = (sc ** 2).sum(1).mean()
-    scale = p2 / var_s
+    var_s = jnp.maximum((sc ** 2).sum(1).mean(), 1e-12)
+    scale = jnp.where(degenerate, 1.0, p2 / var_s)
     t = mu_d - scale * (r @ mu_s)
     return jnp.concatenate([scale * r, t[:, None]], axis=1)
 
@@ -129,6 +137,15 @@ def _linear_axis_weights(pos: jnp.ndarray, size: int) -> jnp.ndarray:
     shape = (1,) * pos.ndim + (size,)
     grid = grid.reshape(shape)
     return jnp.maximum(0.0, 1.0 - jnp.abs(grid - pos[..., None]))
+
+
+def _default_window(out_hw) -> int:
+    """Intermediate crop-window resolution for a given output size: it
+    must scale with the output (a fixed 160 would resample a 224x224
+    request through a LOWER-res intermediate and soften it vs the exact
+    gather path); floor 160, rounded up to a multiple of 8."""
+    base = -(-max(out_hw) * 10 // 7)        # ceil(out * 10/7)
+    return max(160, (base + 7) // 8 * 8)
 
 
 def _window_box(lm, template, oh, ow):
@@ -231,11 +248,7 @@ def warp_align_shear(frame: jnp.ndarray, landmarks: jnp.ndarray,
     """
     oh, ow = out_hw
     if window is None:
-        # intermediate crop-window resolution must scale with the output:
-        # a fixed 160 would resample a 224x224 request through a LOWER-res
-        # intermediate and soften it vs the exact gather path
-        base = -(-max(out_hw) * 10 // 7)        # ceil(out * 10/7)
-        window = max(160, (base + 7) // 8 * 8)
+        window = _default_window(out_hw)
     c_win = window
     h, w, _ = frame.shape
     frame = frame.astype(jnp.float32)
@@ -291,8 +304,7 @@ def warp_align_frames(frames: jnp.ndarray, landmarks: jnp.ndarray,
 
     oh, ow = out_hw
     if window is None:
-        base = -(-max(out_hw) * 10 // 7)
-        window = max(160, (base + 7) // 8 * 8)
+        window = _default_window(out_hw)
     c_win = window
     n, h, w, _ = frames.shape
     template = jnp.asarray(ARCFACE_TEMPLATE_112)

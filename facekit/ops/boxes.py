@@ -70,23 +70,30 @@ def decode_landmarks(ldm: jnp.ndarray, anchors: jnp.ndarray,
     return jnp.stack([px * w, py * h], -1)
 
 
-def unletterbox_boxes(boxes: jnp.ndarray, frame_hw: Tuple[int, int],
-                      input_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Map boxes from detector-input pixels back to frame pixels.
-
-    Uses the float pad offsets of the reference's decode
-    (``src/retinaface.cpp:177-187``), which differ sub-pixel from the integer
-    paste offsets — reproduced deliberately for parity.
-    """
+def _unletterbox_geometry(frame_hw, input_hw):
+    """(scale, pad_x, pad_y) of the reference's float-offset decode
+    (``src/retinaface.cpp:177-187``), which differs sub-pixel from the
+    integer paste offsets of letterbox_geometry — reproduced deliberately
+    for parity, and shared by the box AND point un-mappings so the quirk
+    can never desynchronize between them."""
     fh, fw = frame_hw
     th, tw = input_hw
     scale_h, scale_w = th / fh, tw / fw
     scale = min(scale_h, scale_w)
     # when scale_h > scale_w: width fills the input, the vertical is padded
     if scale_h > scale_w:
-        pad_x, pad_y = 0.0, (th - scale * fh) / 2
-    else:
-        pad_x, pad_y = (tw - scale * fw) / 2, 0.0
+        return scale, 0.0, (th - scale * fh) / 2
+    return scale, (tw - scale * fw) / 2, 0.0
+
+
+def unletterbox_boxes(boxes: jnp.ndarray, frame_hw: Tuple[int, int],
+                      input_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Map boxes from detector-input pixels back to frame pixels.
+
+    Uses the float pad offsets of the reference's decode (see
+    ``_unletterbox_geometry``).
+    """
+    scale, pad_x, pad_y = _unletterbox_geometry(frame_hw, input_hw)
     shift = jnp.asarray([pad_x, pad_y, pad_x, pad_y], dtype=boxes.dtype)
     return (boxes - shift) / scale
 
@@ -94,14 +101,8 @@ def unletterbox_boxes(boxes: jnp.ndarray, frame_hw: Tuple[int, int],
 def unletterbox_points(points: jnp.ndarray, frame_hw: Tuple[int, int],
                        input_hw: Tuple[int, int]) -> jnp.ndarray:
     """Same un-mapping for (..., 2) (x, y) landmark points."""
-    fh, fw = frame_hw
-    th, tw = input_hw
-    scale_h, scale_w = th / fh, tw / fw
-    scale = min(scale_h, scale_w)
-    if scale_h > scale_w:
-        pad = jnp.asarray([0.0, (th - scale * fh) / 2], dtype=points.dtype)
-    else:
-        pad = jnp.asarray([(tw - scale * fw) / 2, 0.0], dtype=points.dtype)
+    scale, pad_x, pad_y = _unletterbox_geometry(frame_hw, input_hw)
+    pad = jnp.asarray([pad_x, pad_y], dtype=points.dtype)
     return (points - pad) / scale
 
 
@@ -140,8 +141,9 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     order; a candidate suppresses every lower-scored survivor with
     IoU >= threshold. Candidates with score == -inf are padding.
 
-    Returns (boxes, scores, keep_mask), each of length ``top_k`` in
-    descending score order.
+    Returns (boxes, scores, keep_mask, candidate_idx), each of length
+    ``top_k`` in descending score order; ``candidate_idx`` maps each slot
+    back to its index in the input arrays (the anchor id).
     """
     k = min(top_k, scores.shape[0])
     top_scores, idx = jax.lax.top_k(scores, k)
@@ -156,7 +158,7 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         return keep & ~(suppress & later)
 
     keep = jax.lax.fori_loop(0, k, body, valid)
-    return top_boxes, top_scores, keep
+    return top_boxes, top_scores, keep, idx
 
 
 def nms_streaming(boxes: jnp.ndarray, scores: jnp.ndarray,
@@ -255,8 +257,11 @@ def _nms_select(boxes: jnp.ndarray, masked: jnp.ndarray,
     final ``max_faces`` slots. Returns (boxes (F,4), scores (F,),
     anchor_idx (F,), n_survivors_in_window)."""
     k = min(top_k, masked.shape[0])
-    top_boxes, top_scores, keep = nms(boxes, masked, iou_threshold, k)
-    _, cand_idx = jax.lax.top_k(masked, k)    # global anchor ids, score order
+    # cand_idx comes from nms()'s own sort: re-running top_k here would
+    # duplicate the (A,)-sized sort and silently assume identical
+    # tie-breaking between the two calls (r4 review finding)
+    top_boxes, top_scores, keep, cand_idx = nms(boxes, masked,
+                                                iou_threshold, k)
     kept_scores = jnp.where(keep, top_scores, -jnp.inf)
     final_scores, sel = jax.lax.top_k(kept_scores, max_faces)
     return (top_boxes[sel], final_scores, cand_idx[sel],

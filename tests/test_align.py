@@ -46,6 +46,22 @@ def test_umeyama_recovers_known_transform(rng):
     np.testing.assert_allclose(m[:, 2], t, rtol=1e-3, atol=1e-3)
 
 
+def test_umeyama_coincident_landmarks_stays_finite(rng):
+    """All-coincident source points (degenerate landmark-head output on a
+    garbage region) must yield a FINITE transform and a finite crop, not
+    Inf/NaN flowing into the slot's embedding (r4 review finding: var_s
+    was unclamped)."""
+    from facekit.ops.align import warp_align_shear
+    src = np.full((5, 2), 37.0, np.float32)           # pure point collapse
+    m = np.asarray(umeyama(jnp.asarray(src),
+                           jnp.asarray(ARCFACE_TEMPLATE_112)))
+    assert np.all(np.isfinite(m)), m
+    frame = rng.integers(0, 256, (120, 160, 3), np.uint8).astype(np.float32)
+    crops = np.asarray(warp_align_shear(jnp.asarray(frame),
+                                        jnp.asarray(src)[None]))
+    assert np.all(np.isfinite(crops))
+
+
 def test_umeyama_matches_numpy_oracle(rng):
     src = (ARCFACE_TEMPLATE_112 +
            rng.normal(0, 5, size=(5, 2))).astype(np.float32) * 2 + 30

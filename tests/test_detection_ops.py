@@ -104,7 +104,7 @@ def test_nms_matches_reference_greedy(rng):
     boxes = boxes.astype(np.float32)
 
     ref_boxes, ref_scores = _nms_oracle(boxes, scores, 0.4)
-    top_boxes, top_scores, keep = nms(
+    top_boxes, top_scores, keep, _ = nms(
         jnp.asarray(boxes), jnp.asarray(scores), 0.4, top_k=n)
     kept = np.asarray(keep)
     ours_boxes = np.asarray(top_boxes)[kept]
@@ -117,7 +117,7 @@ def test_nms_matches_reference_greedy(rng):
 def test_nms_handles_all_masked():
     boxes = jnp.zeros((10, 4))
     scores = jnp.full((10,), -jnp.inf)
-    _, _, keep = nms(boxes, scores, 0.4, top_k=10)
+    _, _, keep, _ = nms(boxes, scores, 0.4, top_k=10)
     assert not np.asarray(keep).any()
 
 
@@ -253,7 +253,7 @@ def test_nms_streaming_matches_full_nms(rng):
     # mask a third below "threshold" to exercise padding/invalid handling
     scores[rng.uniform(size=n) < 0.33] = -np.inf
 
-    fb, fs, fk = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.4, top_k=n)
+    fb, fs, fk, _ = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.4, top_k=n)
     sb, ss, sk, order = nms_streaming(jnp.asarray(boxes), jnp.asarray(scores),
                                       0.4, chunk=64)
     np.testing.assert_allclose(np.asarray(ss)[:n], np.asarray(fs))

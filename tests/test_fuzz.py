@@ -53,7 +53,7 @@ def test_nms_fuzz_random_overlaps(seed):
     thr = float(rng.uniform(0.25, 0.6))
 
     ref_boxes, ref_scores = _nms_oracle(boxes, scores, thr)
-    tb, ts, keep = nms(jnp.asarray(boxes), jnp.asarray(scores), thr,
+    tb, ts, keep, _ = nms(jnp.asarray(boxes), jnp.asarray(scores), thr,
                        top_k=n)
     kept = np.asarray(keep)
     np.testing.assert_allclose(np.asarray(ts)[kept], ref_scores, rtol=1e-6)

@@ -41,7 +41,7 @@ def test_native_nms_matches_jax(rng):
     scores = rng.uniform(0.1, 1.0, size=n).astype(np.float32)
 
     kept = native.nms(boxes, scores, 0.4, max_out=n)
-    tb, ts, keep = jax_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.4,
+    tb, ts, keep, _ = jax_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.4,
                            top_k=n)
     ref_scores = np.asarray(ts)[np.asarray(keep)]
     np.testing.assert_allclose(scores[kept], ref_scores, rtol=1e-6)
