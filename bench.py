@@ -47,19 +47,25 @@ def device_time_per_call(fn_call, n_calls: int):
         from xprof.convert import raw_to_tool_data as rtd
     except Exception:
         return None
-    d = tempfile.mkdtemp()
-    jax.profiler.start_trace(d)
-    outs = [fn_call(j) for j in range(n_calls)]
-    jax.block_until_ready(outs)
-    jax.profiler.stop_trace()
-    files = glob.glob(os.path.join(d, "**", "*.xplane.pb"), recursive=True)
-    if not files:
-        return None
-    try:
-        data, _ = rtd.xspace_to_tool_data(files, "framework_op_stats", {})
-        table = json.loads(data if isinstance(data, str) else data.decode())[0]
-    except Exception:
-        return None
+    # TemporaryDirectory, not mkdtemp: each trace is tens of MB for the
+    # big programs and a bench run calls this ~20 times — leaked dirs
+    # accumulate gigabytes under /tmp on a shared host
+    with tempfile.TemporaryDirectory(prefix="fk-xplane-") as d:
+        jax.profiler.start_trace(d)
+        outs = [fn_call(j) for j in range(n_calls)]
+        jax.block_until_ready(outs)
+        jax.profiler.stop_trace()
+        files = glob.glob(os.path.join(d, "**", "*.xplane.pb"),
+                          recursive=True)
+        if not files:
+            return None
+        try:
+            data, _ = rtd.xspace_to_tool_data(files, "framework_op_stats",
+                                              {})
+            table = json.loads(data if isinstance(data, str)
+                               else data.decode())[0]
+        except Exception:
+            return None
     total_us = 0.0
     for row in table["rows"]:
         cells = [x["v"] for x in row["c"]]

@@ -13,11 +13,19 @@ import asyncio
 import json
 
 
+def _read_image(image_path: str):
+    import cv2
+    img = cv2.imread(image_path)
+    if img is None:
+        raise SystemExit(f"cannot read image: {image_path}")
+    return img
+
+
 def recognize(host: str, port: int, image_path: str, out_path: str = None):
     import cv2
     import urllib.request
 
-    img = cv2.imread(image_path)
+    img = _read_image(image_path)
     ok, buf = cv2.imencode(".jpg", img)
     req = urllib.request.Request(
         f"http://{host}:{port}/recognize", data=buf.tobytes(), method="POST")
@@ -39,7 +47,7 @@ async def inference_ws(host: str, port: int, image_path: str):
     import cv2
     import aiohttp
 
-    img = cv2.imread(image_path)
+    img = _read_image(image_path)
     ok, buf = cv2.imencode(".jpg", img)
     async with aiohttp.ClientSession() as session:
         async with session.ws_connect(f"http://{host}:{port}/inference") as ws:
