@@ -22,15 +22,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _topology_mesh(shape=None):
+def _topology_mesh(shape=None, topology="v5e:2x4"):
     """The SAME mesh construction the export CLI ships
     (facekit.engine.topology_mesh), wrapped in a skip for environments
     whose TPU plugin can't provide topology descriptions."""
     from facekit.engine import topology_mesh
     try:
-        return topology_mesh(shape or {"data": 2, "gallery": 4})
+        return topology_mesh(shape or {"data": 2, "gallery": 4}, topology)
     except Exception as e:  # no TPU plugin / unsupported
-        pytest.skip(f"v5e topology unavailable: {e}")
+        pytest.skip(f"{topology} topology unavailable: {e}")
 
 
 def test_sharded_serving_program_compiles_for_v5e_8():
@@ -127,3 +127,36 @@ def test_train_step_compiles_for_v5e_8():
                            margins=(1.0, 0.3, 0.1))
     compiled = step.lower(sds_st, images, labels).compile()
     assert compiled.memory_analysis() is not None
+
+
+def test_sharded_search_compiles_for_v5e_128_pod_slice():
+    """Scaling evidence beyond one host: the row-sharded int8 search
+    partitions for a full v5e:8x16 POD SLICE (128 chips, {data: 8,
+    gallery: 16}) with a 4M-row gallery. Compile-only — no such hardware
+    exists in this env — but the GSPMD partitioner and the Mosaic kernel
+    compiler run for the real 128-device target, so an invalid
+    partitioning or kernel tiling at pod scale fails HERE."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from facekit.parallel.sharded_search import sharded_cosine_topk
+
+    mesh = _topology_mesh({"data": 8, "gallery": 16}, "v5e:8x16")
+    n = 1 << 22                               # 4M rows, 256k per device
+    gal = jax.ShapeDtypeStruct(
+        (n, 512), jnp.int8, sharding=NamedSharding(mesh, P("gallery", None)))
+    scales = jax.ShapeDtypeStruct(
+        (n,), jnp.float32, sharding=NamedSharding(mesh, P("gallery")))
+    q = jax.ShapeDtypeStruct(
+        (64, 512), jnp.float32, sharding=NamedSharding(mesh, P("data", None)))
+    count = jax.ShapeDtypeStruct((), jnp.int32)
+
+    def fn(gallery, scales, queries, count):
+        return sharded_cosine_topk(gallery, queries, count, k=4, mesh=mesh,
+                                   axis="gallery", scales=scales,
+                                   use_pallas=True)
+
+    compiled = jax.jit(fn).lower(gal, scales, q, count).compile()
+    mem = compiled.memory_analysis()
+    assert mem is not None
+    total = (mem.argument_size_in_bytes + mem.output_size_in_bytes
+             + mem.temp_size_in_bytes)
+    assert total < 16 * 2**30, f"per-device bytes {total}"
