@@ -996,6 +996,59 @@ def make_app(server: FaceServer):
             "users": len(server.user_dict),
         })
 
+    # facekit extension: measure THIS process's host->device link. On a
+    # dev host the accelerator often sits behind a slow transport (the r4
+    # loadtest measured a tunnel at ~10-30 MB/s — every dispatch was
+    # transfer-bound and protocol shape was unmeasurable,
+    # docs/serving_loadtest_r4.json); loadtest.py records this probe next
+    # to its percentiles so every published run carries the link
+    # measurement that interprets it.
+    probe_state = {"seed": 0, "tiny": None}
+
+    async def probe_device(request):
+        try:
+            mb = float(request.query.get("mb", "8"))
+        except ValueError:
+            return web.Response(status=400, text="invalid mb\n")
+        if not (0.125 <= mb <= 64):
+            return web.Response(status=400, text="mb out of range\n")
+        n_bytes = int(mb * (1 << 20))
+
+        def _run():
+            import time as _t
+
+            import jax
+            dev = jax.devices()[0]
+            probe_state["seed"] += 1
+            # fresh bytes every call, and a varied dispatch operand: the
+            # dev tunnel caches identical remote work, which would read
+            # as an impossibly fast link
+            arr = np.random.default_rng(probe_state["seed"]).integers(
+                0, 255, n_bytes, dtype=np.uint8)
+            t0 = _t.perf_counter()
+            jax.device_put(arr, dev).block_until_ready()
+            up_s = _t.perf_counter() - t0
+            if probe_state["tiny"] is None:   # one jit object for the
+                # server's lifetime, compiled off the clock — a fresh
+                # jax.jit per call would re-trace and bill tracing as RTT
+                probe_state["tiny"] = jax.jit(lambda v: v * 2.0 + 1.0)
+                probe_state["tiny"](np.float32(0.5)).block_until_ready()
+            x = np.float32(probe_state["seed"])
+            t0 = _t.perf_counter()
+            probe_state["tiny"](x).block_until_ready()
+            rtt_s = _t.perf_counter() - t0
+            return up_s, rtt_s
+
+        up_s, rtt_s = await run_blocking(_run)
+        import jax
+        return web.json_response({
+            "bytes": n_bytes,
+            "upload_s": up_s,
+            "upload_MBps": mb / max(up_s, 1e-9),
+            "dispatch_ms": rtt_s * 1e3,
+            "platform": jax.devices()[0].platform,
+        })
+
     async def metrics(request):
         snap = server.metrics.snapshot()
         for name, b in (("recognize", recognize_batcher),
@@ -1020,6 +1073,7 @@ def make_app(server: FaceServer):
     app.router.add_get("/reload", reload)
     app.router.add_get("/health", health)
     app.router.add_post("/search", search_topk)
+    app.router.add_get("/probe/device", probe_device)
     return app
 
 

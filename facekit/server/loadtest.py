@@ -239,6 +239,32 @@ async def amain(args) -> Dict:
             health = json.loads(await r.text())
         results["health"] = health
 
+        # host->device link probe (GET /probe/device): serving latency on
+        # a dev host is often dominated by the accelerator link, not the
+        # pipeline (r4 measured a 10-30 MB/s tunnel that made every
+        # dispatch transfer-bound) — record the link next to the
+        # percentiles so the run is interpretable on its own
+        if args.probe_mb > 0:
+            link: Optional[List[Dict]] = []
+            for _ in range(3):
+                async with session.get(
+                        url + f"/probe/device?mb={args.probe_mb}") as r:
+                    if r.status != 200:   # server predates the endpoint
+                        link = None
+                        break
+                    link.append(json.loads(await r.text()))
+            if link:
+                ups = [p["upload_MBps"] for p in link]
+                rtts = [p["dispatch_ms"] for p in link]
+                results["link"] = {
+                    "probe_mb": args.probe_mb,
+                    "platform": link[0]["platform"],
+                    "upload_MBps_best": max(ups),
+                    "upload_MBps_median": float(np.median(ups)),
+                    "dispatch_ms_best": min(rtts),
+                    "dispatch_ms_median": float(np.median(rtts)),
+                }
+
         # payload pools (pre-encoded; /recognize takes crops, WS frames)
         crop_hw = tuple(args.crop_hw)
         frame_hw = tuple(args.frame_hw)
@@ -330,6 +356,10 @@ def main(argv=None):
                          "server_maxQueueDepth (default 32x batch), so "
                          "size --overload-concurrency above it")
     ap.add_argument("--overload-concurrency", type=int, default=128)
+    ap.add_argument("--probe-mb", type=float, default=8.0,
+                    help="size of the host->device link probe "
+                         "(GET /probe/device) recorded as results['link']; "
+                         "0 disables")
     ap.add_argument("--ws-pipeline", type=int, default=1,
                     help="frames in flight per WS socket (>1 needs the "
                          "server's extras.server_wsPipeline window)")

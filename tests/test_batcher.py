@@ -346,6 +346,62 @@ def test_loadtest_payloads_unique_and_decodable():
     assert len(set(decoded)) == 16             # still distinct after codec
 
 
+async def test_loadtest_e2e_against_live_server(tmp_path_factory, rng):
+    """The loadtest TOOL end-to-end: drives a real socket-bound server
+    through its full flow (health, link probe, gallery seed, warmup,
+    HTTP + WS phases, overload phase, metrics capture) and returns a
+    complete results dict — the same code path the TPU-host runs publish,
+    including the r4 link-probe section (results["link"])."""
+    import argparse
+    import jax
+    from aiohttp import web
+    from facekit.config import FaceKitConfig
+    from facekit.models import arcface_init
+    from facekit.models.lightdet import lightdet_init
+    from facekit.server import FaceServer, make_app
+    from facekit.server import loadtest
+
+    cfg = FaceKitConfig(
+        database_path=str(tmp_path_factory.mktemp("lt") / "lt.db"),
+        input_frameWidth=160, input_frameHeight=120,
+        det_inputShape=(3, 64, 64), det_network="slim",
+        rec_network="ir_tiny", compute_dtype="float32",
+        gallery_dtype="float32", use_pallas_search=False,
+        det_threshold_bbox=0.05,
+        extras={"server_batchSize": 2})
+    srv = FaceServer(cfg, det_params=lightdet_init(jax.random.PRNGKey(0),
+                                                   variant="slim"),
+                     rec_params=arcface_init(jax.random.PRNGKey(1),
+                                             network="ir_tiny"),
+                     warmup=False)
+    runner = web.AppRunner(make_app(srv))
+    await runner.setup()
+    site = web.TCPSite(runner, "127.0.0.1", 0)
+    await site.start()
+    port = site._server.sockets[0].getsockname()[1]
+    try:
+        args = argparse.Namespace(
+            host="127.0.0.1", port=port, concurrency="2", requests="4",
+            crop_hw=(112, 112), frame_hw=(120, 160), grow=False,
+            grow_count=5, overload=4, overload_concurrency=8,
+            ws_pipeline=1, probe_mb=0.5)
+        results = await loadtest.amain(args)
+    finally:
+        await runner.cleanup()
+
+    assert results["health"]["status"] == "ok"
+    link = results["link"]
+    assert link["platform"] == "cpu"
+    assert link["upload_MBps_best"] > 0 and link["dispatch_ms_best"] > 0
+    (phase,) = results["phases"]
+    http = phase["http_recognize"]
+    assert http["n"] + http["shed"] == 4 and http["errors"] == 0
+    assert phase["ws_inference"]["n"] == 4
+    ov = results["overload"]
+    assert ov["accepted"] + ov["shed"] == 4 and ov["errors"] == 0
+    assert "recognize" in results["server_metrics"]
+
+
 def test_loadtest_percentiles():
     from facekit.server.loadtest import _percentiles
     stats = _percentiles([0.010, 0.020, 0.030, 0.040])

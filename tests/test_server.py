@@ -231,6 +231,27 @@ async def test_health(face_server):
         assert body["status"] == "ok"
 
 
+async def test_probe_device_endpoint(face_server):
+    """GET /probe/device (facekit extension): host->device link probe the
+    loadtest records so published runs carry the link measurement that
+    interprets them (the r4 loadtest was transfer-bound on a 10-30 MB/s
+    tunnel and the confound had to be measured by hand)."""
+    async with make_client(face_server) as client:
+        r = await client.get("/probe/device?mb=0.5")
+        assert r.status == 200
+        body = json.loads(await r.text())
+        assert body["bytes"] == int(0.5 * (1 << 20))
+        assert body["upload_MBps"] > 0
+        assert body["dispatch_ms"] > 0
+        assert body["platform"] == "cpu"
+        # second call exercises the warmed-dispatch path
+        r2 = await client.get("/probe/device?mb=0.5")
+        assert json.loads(await r2.text())["dispatch_ms"] > 0
+        for bad in ("mb=nope", "mb=0", "mb=1000"):
+            r = await client.get(f"/probe/device?{bad}")
+            assert r.status == 400
+
+
 def test_visualize_overlay(rng):
     from facekit.server.visualize import draw_results
     frame = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
