@@ -74,6 +74,23 @@ def device_time_per_call(fn_call, n_calls: int):
     return total_us / n_calls / 1e6
 
 
+def varied_batches(arr, salt, n=5):
+    """n rolled + pixel-XOR'd UNIQUE copies of ``arr`` plus one warm
+    input outside the profiled set — the tunnel-cache discipline
+    (CLAUDE.md: identical remote executions are served from cache, which
+    would deflate a profile) in ONE place instead of per-section
+    boilerplate. ``salt`` picks a distinct perturbed pixel per section so
+    two sections profiling the same base array can never emit identical
+    bytes to the same program."""
+    p = 1 + salt % 7
+    outs = [np.roll(arr, j + 3, axis=0).copy() for j in range(n)]
+    for j, f in enumerate(outs):
+        f[0, p, p, 0] ^= np.uint8(j + 1)
+    warm = np.roll(arr, 9, axis=0).copy()
+    warm[0, p + 1, p, 0] ^= 1
+    return outs, warm
+
+
 def bench_e2e(pipe, frames, iters: int = 50):
     """Per-frame latency with a UNIQUE input every call (the serving
     platform caches identical remote executions, so any repeat measures a
@@ -138,6 +155,31 @@ def bench_search(n_rows: int = 1 << 20, batch: int = 16, iters: int = 20,
     return [per_call] * iters
 
 
+def _devices_with_retry(attempts: int = 8, wait_s: float = 60.0):
+    """First device touch, riding out tunnel flaps. The dev TPU sits
+    behind a tunnel that can refuse backend setup transiently
+    (UNAVAILABLE) or hang outright for many minutes (both observed
+    2026-08-17); one flap at the wrong moment must not cost the round
+    its bench numbers. Retries re-run platform init — jax caches
+    backend-init FAILURES per-process only until clear_backends()."""
+    import jax
+
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            _log(f"backend init failed ({e}); retry {i + 1}/{attempts} "
+                 f"in {wait_s:.0f}s")
+            try:
+                import jax.extend.backend as _xb
+                _xb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(wait_s)
+
+
 def main():
     import os
 
@@ -146,7 +188,7 @@ def main():
     from facekit.models import arcface_init, retinaface_init
     from facekit.pipeline import FacePipeline
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = _devices_with_retry()[0].platform != "cpu"
 
     # the headline measures the SHIPPED serving profile (VERDICT r2 weak
     # #5): configs/default.json for the bf16 ladder, and the calibrated
@@ -221,9 +263,7 @@ def main():
         # device-side ground truth (profiler xplane), immune to the
         # tunnel's wall-clock artifacts
         _log("profiling batch-8 device time...")
-        fbs = [np.roll(fb, j + 3, axis=0).copy() for j in range(5)]
-        for j, f in enumerate(fbs):
-            f[0, 1, 1, 0] ^= np.uint8(j + 1)
+        fbs, _ = varied_batches(fb, 0)
         dev_t = device_time_per_call(
             lambda j: pipe.recognize_frames(fbs[j]).embeddings, 5)
         if dev_t:
@@ -243,11 +283,7 @@ def main():
         # post-headline section.
         try:
             _log("profiling batch-1 (lone-request) device time...")
-            fbs1 = [np.roll(fb[j % 8][None], j, axis=1).copy()
-                    for j in range(5)]
-            for j, f in enumerate(fbs1):
-                f[0, 3, 3, 0] ^= np.uint8(j + 1)
-            warm1 = fb[7][None] ^ np.uint8(3)
+            fbs1, warm1 = varied_batches(fb[:1], 3)
             pipe.recognize_frames(warm1).embeddings.block_until_ready()
             dev1 = device_time_per_call(
                 lambda j: pipe.recognize_frames(fbs1[j]).embeddings, 5)
@@ -266,11 +302,7 @@ def main():
         try:
             _log("profiling batch-16 device time...")
             fb16 = np.concatenate([fb, fb[::-1] ^ np.uint8(2)])
-            fbs16 = [np.roll(fb16, j + 3, axis=0).copy() for j in range(5)]
-            for j, f in enumerate(fbs16):
-                f[0, 2, 2, 0] ^= np.uint8(j + 1)
-            warm16 = np.roll(fb16, 9, axis=0).copy()
-            warm16[0, 4, 4, 0] ^= 1
+            fbs16, warm16 = varied_batches(fb16, 1)
             pipe.recognize_frames(warm16).embeddings.block_until_ready()
             dev16 = device_time_per_call(
                 lambda j: pipe.recognize_frames(fbs16[j]).embeddings, 5)
@@ -292,8 +324,7 @@ def main():
         # warm on an input NOT in the profiled set — the tunnel serves
         # identical executions from cache, which would deflate the profile
         try:
-            warm = np.roll(fb, 11, axis=0).copy()
-            warm[0, 3, 3, 0] ^= 1
+            _, warm = varied_batches(fb, 4)
             pipe_q.recognize_frames(warm).embeddings.block_until_ready()
             dev_q = device_time_per_call(
                 lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
@@ -312,8 +343,7 @@ def main():
                              ).astype(np.uint8)[:112, :112][None]
                      .repeat(16, 0) for _ in range(2)]
             pipe_q.calibrate_embedder(calib, headroom=1.25)
-            warm_c = np.roll(fb, 12, axis=0).copy()
-            warm_c[0, 7, 7, 0] ^= 1
+            _, warm_c = varied_batches(fb, 5)
             pipe_q.recognize_frames(warm_c).embeddings.block_until_ready()
             dev_c = device_time_per_call(
                 lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
@@ -332,11 +362,7 @@ def main():
         try:
             _log("profiling batch-64 device time (bf16 + calibrated int8)...")
             fb64 = np.concatenate([fb ^ np.uint8(k) for k in range(8)])
-            fbs64 = [np.roll(fb64, j + 3, axis=0).copy() for j in range(5)]
-            for j, f in enumerate(fbs64):
-                f[0, 2, 2, 0] ^= np.uint8(j + 1)
-            warm64 = np.roll(fb64, 9, axis=0).copy()
-            warm64[0, 4, 4, 0] ^= 1
+            fbs64, warm64 = varied_batches(fb64, 1)
             pipe.recognize_frames(warm64).embeddings.block_until_ready()
             dev64 = device_time_per_call(
                 lambda j: pipe.recognize_frames(fbs64[j]).embeddings, 5)
@@ -359,11 +385,7 @@ def main():
         try:
             _log("profiling batch-32 device time (bf16 + calibrated int8)...")
             fb32 = np.concatenate([fb ^ np.uint8(k + 16) for k in range(4)])
-            fbs32 = [np.roll(fb32, j + 3, axis=0).copy() for j in range(5)]
-            for j, f in enumerate(fbs32):
-                f[0, 2, 2, 0] ^= np.uint8(j + 1)
-            warm32 = np.roll(fb32, 9, axis=0).copy()
-            warm32[0, 4, 4, 0] ^= 1
+            fbs32, warm32 = varied_batches(fb32, 1)
             pipe.recognize_frames(warm32).embeddings.block_until_ready()
             dev32 = device_time_per_call(
                 lambda j: pipe.recognize_frames(fbs32[j]).embeddings, 5)
@@ -399,11 +421,7 @@ def main():
             sq = np.stack([np.clip(
                 sq_base + rng_np.integers(-4, 5, sq_base.shape), 0, 255
             ).astype(np.uint8) for _ in range(8)])
-            sqs = [np.roll(sq, j + 3, axis=0).copy() for j in range(5)]
-            for j, f in enumerate(sqs):
-                f[0, 2, 2, 0] ^= np.uint8(j + 1)
-            warm_d = np.roll(sq, 9, axis=0).copy()
-            warm_d[0, 4, 4, 0] ^= 1
+            sqs, warm_d = varied_batches(sq, 1)
             jax.block_until_ready(pipe640.detect_frames(warm_d).boxes)
             dev_d = device_time_per_call(
                 lambda j: pipe640.detect_frames(sqs[j]).boxes, 5)
@@ -464,8 +482,7 @@ def main():
         # src/app.cpp:293-352 + matmul + argmax)
         _log("profiling batch-8 identify vs 1M gallery...")
         import jax.numpy as jnp
-        warm2 = np.roll(fb, 13, axis=0).copy()
-        warm2[0, 5, 5, 0] ^= 1
+        _, warm2 = varied_batches(fb, 6)
         try:
             gal = jax.random.normal(jax.random.PRNGKey(7), (1 << 20, 512),
                                     jnp.bfloat16)
@@ -511,8 +528,7 @@ def main():
                     axis=1)[:, 0]
                 return valid, np.clip(np.asarray(sel), 0, 255
                                       ).astype(np.uint8)
-            warm_f = np.roll(fb, 14, axis=0).copy()
-            warm_f[0, 6, 6, 0] ^= 1
+            _, warm_f = varied_batches(fb, 2)
             v0, _ = reply_path(warm_f)
             extra["replypath_valid_slots_per_batch8"] = int(v0.sum())
             rt = []

@@ -409,3 +409,64 @@ def test_loadtest_percentiles():
     assert abs(stats["p50_ms"] - 25.0) < 1e-6
     assert stats["p99_ms"] <= 40.0 + 1e-6
     assert abs(stats["mean_ms"] - 25.0) < 1e-6
+
+
+def _load_bench():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
+def test_bench_devices_retry(monkeypatch):
+    """bench.py must ride out transient tunnel flaps at first device touch
+    (observed 2026-08-17: axon backend init raising UNAVAILABLE for many
+    minutes) instead of costing the round its numbers. clear_backends is
+    stubbed: really clearing the live CPU backend would invalidate every
+    device array the rest of the suite holds."""
+    import jax
+    bench = _load_bench()
+    cleared = []
+    monkeypatch.setattr("jax.extend.backend.clear_backends",
+                        lambda: cleared.append(1))
+    real = jax.devices
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("UNAVAILABLE: tunnel flap")
+        return real()
+    monkeypatch.setattr(jax, "devices", flaky)
+    devs = bench._devices_with_retry(attempts=5, wait_s=0.01)
+    assert devs and len(calls) == 3 and len(cleared) == 2
+
+    calls.clear()
+    with pytest.raises(RuntimeError, match="tunnel flap"):
+        bench._devices_with_retry(attempts=2, wait_s=0.01)
+    assert len(calls) == 2        # bounded: gives up after `attempts`
+
+
+def test_bench_varied_batches_unique():
+    """bench.py's tunnel-cache discipline helper: every profiled input and
+    the warm input must be pairwise-distinct byte strings, for batched AND
+    batch-1 bases (where np.roll over axis 0 is the identity and
+    uniqueness rests entirely on the per-copy pixel XOR), and two sections
+    salted differently over the SAME base must never collide."""
+    bench = _load_bench()
+
+    rng = np.random.default_rng(3)
+    for batch in (8, 1):
+        base = rng.integers(0, 256, (batch, 24, 32, 3)).astype(np.uint8)
+        seen = set()
+        for salt in (0, 2, 6):
+            outs, warm = bench.varied_batches(base, salt)
+            assert all(o.shape == base.shape for o in outs + [warm])
+            seen.update(a.tobytes() for a in outs + [warm])
+        # 3 salts x (5 profiled + 1 warm), all distinct from each other
+        # AND from the base itself
+        seen.add(base.tobytes())
+        assert len(seen) == 3 * 6 + 1
