@@ -7,26 +7,143 @@ Measures the two BASELINE.json north-star metrics on the available device:
   * p50 latency of a batch-16 query against a 1M-row bf16 gallery with the
     fused Pallas matmul+top-k.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against the driver's north-star target of 2000 faces/sec.
+Prints the cumulative JSON result line after EVERY completed section (the
+driver parses the LAST JSON line on stdout), so a tunnel stall mid-run
+loses at most the unfinished section — never the round's record
+(BENCH_r04 was lost to a 26-minute hang inside backend init; this file is
+built so that cannot recur):
+
+  * the tunnel is probed in a TIMEBOXED SUBPROCESS before any in-process
+    backend init; if it never answers, the bench falls back to a CPU run
+    with the failure recorded in extras;
+  * a watchdog thread emits the cumulative record and exits 0 if any
+    section stalls past its budget or the total run exceeds its budget;
+  * sections run headline-first (batch-8/64 device profiles before the
+    long tail) so the most important numbers land earliest.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+measured against the driver's north-star target of 2000 faces/sec.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
+_T0 = time.time()
+_BEAT = {"t": _T0, "section": "startup", "budget": 600.0}
+
 
 def _log(msg):
-    print(f"# {msg}", file=sys.stderr, flush=True)
+    print(f"# [{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def beat(section: str, budget: float = 900.0):
+    """Mark the start of a named section for the watchdog."""
+    _BEAT.update(t=time.time(), section=section, budget=budget)
+    _log(f"section: {section}")
 
 
 def _percentile(xs, p):
     return float(np.percentile(np.asarray(xs), p))
+
+
+class Emitter:
+    """Accumulates results and prints the cumulative JSON line.
+
+    emit() is called after every section; the driver takes the last JSON
+    line on stdout, so each call supersedes the previous one with a
+    strictly-larger record.
+    """
+
+    def __init__(self):
+        self.extra = {"sections_completed": []}
+        self.cpu_value = 0.0
+
+    def _headline(self):
+        ex = self.extra
+        candidates = [
+            (ex.get("device_slots_per_sec", 0),
+             "bf16 batch-8 (default config)"),
+            (ex.get("batch16_device_slots_per_sec", 0),
+             "bf16 batch-16 (server_batchSize=16)"),
+            (ex.get("batch32_device_slots_per_sec", 0),
+             "bf16 batch-32 (server_batchSize=32)"),
+            (ex.get("batch64_device_slots_per_sec", 0),
+             "bf16 batch-64 (server_batchSize=64, throughput config)"),
+        ]
+        best, label = max(candidates)
+        if best > 0:
+            return best, label
+        if ex.get("wall_slots_per_sec", 0) > 0:
+            return ex["wall_slots_per_sec"], "bf16 batch-8 wall (tunnel-bound)"
+        return self.cpu_value, "cpu fallback"
+
+    def emit(self):
+        value, label = self._headline()
+        self.extra["headline_config"] = label
+        self.extra["bench_elapsed_s"] = round(time.time() - _T0, 1)
+        print(json.dumps({
+            "metric": ("slots/sec end-to-end (detect+align+embed, "
+                       "padded slots)"),
+            "value": round(float(value), 2),
+            "unit": "slots/sec",
+            "vs_baseline": round(float(value) / 2000.0, 4),
+            "extra": self.extra,
+        }), flush=True)
+
+
+def _start_watchdog(em: Emitter, total_budget: float = 2700.0):
+    """Emit-and-exit if a section stalls or the run overstays its welcome.
+
+    os._exit(0), not sys.exit: the stalled main thread may be blocked in
+    an uninterruptible tunnel RPC, and the driver must still see rc=0
+    with the cumulative JSON as the last stdout line."""
+
+    def run():
+        while True:
+            time.sleep(10)
+            now = time.time()
+            stalled = now - _BEAT["t"] > _BEAT["budget"]
+            over = now - _T0 > total_budget
+            if stalled or over:
+                why = (f"section '{_BEAT['section']}' stalled "
+                       f"{now - _BEAT['t']:.0f}s"
+                       if stalled else f"total budget {total_budget:.0f}s")
+                _log(f"WATCHDOG: {why}; emitting and exiting")
+                em.extra["watchdog_abort"] = why
+                try:
+                    em.emit()
+                finally:
+                    os._exit(0)
+
+    t = threading.Thread(target=run, daemon=True, name="bench-watchdog")
+    t.start()
+
+
+def _probe_tunnel(timeout_s: float = 90.0) -> bool:
+    """Timeboxed TPU reachability probe in a SUBPROCESS.
+
+    In-process `jax.devices()` can hang for 26+ minutes when the tunnel
+    stalls (BENCH_r04, rc=124) and is not reliably interruptible; a child
+    process is. The probe runs a real matmul so 'init ok but execution
+    hangs' also counts as unreachable."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "d = jax.devices();"
+            "x = jnp.ones((128, 128));"
+            "print('PROBE_OK', float((x @ x)[0, 0]), d[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s, text=True)
+        return r.returncode == 0 and "PROBE_OK" in r.stdout
+    except Exception:
+        return False
 
 
 def device_time_per_call(fn_call, n_calls: int):
@@ -38,7 +155,6 @@ def device_time_per_call(fn_call, n_calls: int):
     tooling is unavailable.
     """
     import glob
-    import os
     import tempfile
 
     import jax
@@ -155,13 +271,12 @@ def bench_search(n_rows: int = 1 << 20, batch: int = 16, iters: int = 20,
     return [per_call] * iters
 
 
-def _devices_with_retry(attempts: int = 8, wait_s: float = 60.0):
-    """First device touch, riding out tunnel flaps. The dev TPU sits
-    behind a tunnel that can refuse backend setup transiently
-    (UNAVAILABLE) or hang outright for many minutes (both observed
-    2026-08-17); one flap at the wrong moment must not cost the round
-    its bench numbers. Retries re-run platform init — jax caches
-    backend-init FAILURES per-process only until clear_backends()."""
+def _devices_with_retry(attempts: int = 3, wait_s: float = 30.0):
+    """First in-process device touch, riding out tunnel flaps. Runs only
+    AFTER the subprocess probe has seen a live tunnel, so a residual hang
+    here is rare — and bounded by the watchdog, not by this loop. Retries
+    re-run platform init — jax caches backend-init FAILURES per-process
+    only until clear_backends()."""
     import jax
 
     for i in range(attempts):
@@ -180,15 +295,57 @@ def _devices_with_retry(attempts: int = 8, wait_s: float = 60.0):
             time.sleep(wait_s)
 
 
-def main():
-    import os
+def section(em: Emitter, name: str, fn, budget: float = 900.0):
+    """Run one failure-tolerant section, then emit the cumulative record.
 
+    A miss (compile OOM, profiler hiccup, tunnel flap) costs that one
+    section's numbers, never the bench line."""
+    beat(name, budget)
+    try:
+        fn()
+        em.extra["sections_completed"].append(name)
+    except Exception as e:  # pragma: no cover - bench resilience
+        _log(f"section {name} FAILED: {e!r}")
+        em.extra.setdefault("sections_failed", {})[name] = repr(e)[:200]
+    em.emit()
+
+
+def main():
+    em = Emitter()
+    _start_watchdog(em)
+
+    # --- backend bring-up: probe in a subprocess, never hang in-process
+    beat("tunnel-probe", budget=720.0)
+    tpu_ok = False
+    if os.environ.get("FACEKIT_BENCH_CPU"):
+        _log("FACEKIT_BENCH_CPU set; skipping tunnel probe, CPU run")
+    else:
+        for i in range(5):
+            if _probe_tunnel(90.0):
+                tpu_ok = True
+                _log(f"tunnel probe ok (attempt {i + 1})")
+                break
+            _log(f"tunnel probe failed/timed out (attempt {i + 1}/5)")
+            time.sleep(15)
+
+    beat("backend-init", budget=300.0)
     import jax
+    if not tpu_ok:
+        if os.environ.get("FACEKIT_BENCH_CPU"):
+            em.extra["forced_cpu"] = True
+        else:
+            _log("tunnel unreachable; falling back to CPU bench")
+            em.extra["tunnel_unreachable"] = True
+        jax.config.update("jax_platforms", "cpu")
+    devs = _devices_with_retry()
+    on_tpu = devs[0].platform != "cpu"
+    em.extra["platform"] = devs[0].platform
+    em.extra["device"] = str(devs[0])
+
+    beat("build-pipeline", budget=600.0)
     from facekit.config import load_config
     from facekit.models import arcface_init, retinaface_init
     from facekit.pipeline import FacePipeline
-
-    on_tpu = _devices_with_retry()[0].platform != "cpu"
 
     # the headline measures the SHIPPED serving profile (VERDICT r2 weak
     # #5): configs/default.json for the bf16 ladder, and the calibrated
@@ -217,378 +374,288 @@ def main():
     frames = [np.clip(base.astype(np.int16)
                       + rng_np.integers(-4, 5, base.shape), 0, 255
                       ).astype(np.uint8) for _ in range(8)]
-
-    # the tunnel adds ~seconds of wall latency per blocking call; keep the
-    # wall loops short — the authoritative numbers are the device-side
-    # xplane profiles below (5 calls each)
-    e2e_iters = 8 if on_tpu else 5
-    _log("single-frame latency bench...")
-    times = bench_e2e(pipe, frames, iters=e2e_iters)
-    p50_frame = _percentile(times, 50)
-
-    # throughput path: batch-8 frames per dispatch
-    _log("batch-8 throughput bench...")
     fb = np.stack(frames)
-    res = pipe.recognize_frames(fb)
-    res.embeddings.block_until_ready()
-    bt = []
-    for j in range(max(e2e_iters // 2, 3)):
-        fb2 = np.roll(fb, j + 1, axis=0).copy()
-        fb2[0, 0, 0, 0] ^= 1  # perturb so the tunnel can't cache
-        t0 = time.perf_counter()
-        r = pipe.recognize_frames(fb2)
-        r.embeddings.block_until_ready()
-        bt.append(time.perf_counter() - t0)
-    p50_batch = _percentile(bt, 50)
-    # honest accounting (VERDICT r1 item 10): slots/sec is the compute done
-    # (padded det_maxFacesPerScene slots per frame); the measured valid-face
-    # count on THIS input is reported alongside, never conflated. With
-    # random-init weights (the reference ships no checkpoints) valid is
-    # typically 0 at the production threshold.
-    slots_per_sec = cfg.det_maxFacesPerScene * len(frames) / p50_batch
-    valid_faces_in_batch = int(np.asarray(res.valid).sum())
+    extra = em.extra
+    slots = cfg.det_maxFacesPerScene
 
-    extra = {
-        "frame_p50_ms": p50_frame * 1e3,
-        "latency_slots_per_sec": cfg.det_maxFacesPerScene / p50_frame,
-        "batch8_p50_ms": p50_batch * 1e3,
-        "slots_per_batch": cfg.det_maxFacesPerScene * len(frames),
-        "measured_valid_faces_per_batch": valid_faces_in_batch,
-        "measured_valid_faces_per_sec": valid_faces_in_batch / p50_batch,
-        "platform": jax.devices()[0].platform,
-        "device": str(jax.devices()[0]),
-    }
+    if not on_tpu:
+        # CPU fallback record: small but real numbers, honestly labeled
+        def cpu_bench():
+            times = bench_e2e(pipe, frames, iters=5)
+            extra["frame_p50_ms"] = _percentile(times, 50) * 1e3
+            res = pipe.recognize_frames(fb)
+            res.embeddings.block_until_ready()
+            bt = []
+            for j in range(3):
+                fb2 = np.roll(fb, j + 1, axis=0).copy()
+                fb2[0, 0, 0, 0] ^= 1
+                t0 = time.perf_counter()
+                r = pipe.recognize_frames(fb2)
+                r.embeddings.block_until_ready()
+                bt.append(time.perf_counter() - t0)
+            p50_batch = _percentile(bt, 50)
+            em.cpu_value = slots * len(frames) / p50_batch
+            extra["batch8_p50_ms"] = p50_batch * 1e3
+            extra["measured_valid_faces_per_batch"] = int(
+                np.asarray(res.valid).sum())
+            st = bench_search(10_000, 16, 5, use_pallas=False)
+            extra["search_10k_b16_p50_ms_cpu"] = _percentile(st, 50) * 1e3
+        section(em, "cpu-fallback", cpu_bench, budget=1200.0)
+        return
 
-    if on_tpu:
-        # device-side ground truth (profiler xplane), immune to the
-        # tunnel's wall-clock artifacts
-        _log("profiling batch-8 device time...")
-        fbs, _ = varied_batches(fb, 0)
+    # ---- TPU sections, headline-first. Each emits on completion. ----
+
+    # headline #1: batch-8 device time (default serving config). The
+    # device-side xplane is ground truth — the tunnel's wall clock both
+    # caches and under-reports (CLAUDE.md).
+    fbs, warm8 = varied_batches(fb, 0)
+
+    def s_batch8():
+        pipe.recognize_frames(warm8).embeddings.block_until_ready()
         dev_t = device_time_per_call(
             lambda j: pipe.recognize_frames(fbs[j]).embeddings, 5)
         if dev_t:
             extra["batch8_device_ms"] = dev_t * 1e3
-            extra["device_slots_per_sec"] = (
-                cfg.det_maxFacesPerScene * len(frames) / dev_t)
-            extra["wall_slots_per_sec"] = slots_per_sec
-            # report the device-truth number: tunnel wall-clock both caches
-            # and under-reports (see CLAUDE.md); on production hosts the
-            # wall number tracks the device number under pipelining
-            slots_per_sec = extra["device_slots_per_sec"]
+            extra["device_slots_per_sec"] = slots * len(frames) / dev_t
+    section(em, "batch8-device", s_batch8)
 
-        # batch-1 point: the LONE-REQUEST latency the shipped bucket
-        # ladder serves (configs/default.json server_batchBuckets [1, 8]
-        # — an idle-device request dispatches alone on the batch-1
-        # program instead of padding to 8). Failure-tolerant like every
-        # post-headline section.
-        try:
-            _log("profiling batch-1 (lone-request) device time...")
-            fbs1, warm1 = varied_batches(fb[:1], 3)
-            pipe.recognize_frames(warm1).embeddings.block_until_ready()
-            dev1 = device_time_per_call(
-                lambda j: pipe.recognize_frames(fbs1[j]).embeddings, 5)
-            if dev1:
-                extra["batch1_device_ms"] = dev1 * 1e3
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"batch-1 section skipped: {e}")
+    # headline #2: batch-64 (server_batchSize=64): MXU utilization of the
+    # C=64 ArcFace stages keeps rising with batch (measured b8 -> b64:
+    # bf16 6,978 -> 9,505 slots/sec) — the throughput configuration and
+    # the usual headline winner.
+    fb64 = np.concatenate([fb ^ np.uint8(k) for k in range(8)])
+    fbs64, warm64 = varied_batches(fb64, 1)
 
-        # batch-16 point (server_batchSize=16, a stock serving config):
-        # ArcFace convs are compute-bound, so the bigger dispatch amortizes
-        # the fixed per-batch work. The headline reports the better of the
-        # two measured serving configs, labeled in extra.
-        # every section past the batch-8 headline is failure-tolerant: a
-        # miss (compile OOM, profiler hiccup) must cost that one number,
-        # not the whole bench JSON line
-        try:
-            _log("profiling batch-16 device time...")
-            fb16 = np.concatenate([fb, fb[::-1] ^ np.uint8(2)])
-            fbs16, warm16 = varied_batches(fb16, 1)
-            pipe.recognize_frames(warm16).embeddings.block_until_ready()
-            dev16 = device_time_per_call(
-                lambda j: pipe.recognize_frames(fbs16[j]).embeddings, 5)
-            if dev16:
-                extra["batch16_device_ms"] = dev16 * 1e3
-                extra["batch16_device_slots_per_sec"] = (
-                    cfg.det_maxFacesPerScene * 16 / dev16)
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"batch-16 section skipped: {e}")
+    def s_batch64():
+        pipe.recognize_frames(warm64).embeddings.block_until_ready()
+        dev64 = device_time_per_call(
+            lambda j: pipe.recognize_frames(fbs64[j]).embeddings, 5)
+        if dev64:
+            extra["batch64_device_ms"] = dev64 * 1e3
+            extra["batch64_device_slots_per_sec"] = slots * 64 / dev64
+    section(em, "batch64-device", s_batch64)
 
-        # opt-in int8-embedder serving point (rec_quantize; ~1.6e-3 cosine
-        # drift, docs/PARITY.md) — the headline stays the default bf16 path
-        _log("profiling batch-8 int8-embedder device time...")
-        from dataclasses import replace as _cfg_replace
-        pipe_q = FacePipeline(_cfg_replace(cfg, rec_quantize=True,
-                                           gallery_dtype="int8"),
-                              det, rec)   # == configs/throughput.json
-        assert pipe_q.align
-        # warm on an input NOT in the profiled set — the tunnel serves
-        # identical executions from cache, which would deflate the profile
-        try:
-            _, warm = varied_batches(fb, 4)
-            pipe_q.recognize_frames(warm).embeddings.block_until_ready()
-            dev_q = device_time_per_call(
-                lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
-            if dev_q:
-                extra["batch8_int8_embedder_device_ms"] = dev_q * 1e3
-                extra["int8_embedder_slots_per_sec"] = (
-                    cfg.det_maxFacesPerScene * len(frames) / dev_q)
-            # calibrated int8: static activation scales (no per-conv amax
-            # reduction pass) — facekit's fastest embedder point.
-            # Calibrating mutates pipe_q's params, so this runs LAST of
-            # the int8 pipeline profiles (headroom matches the server's
-            # rec_calibrationHeadroom default).
-            _log("profiling batch-8 calibrated-int8 device time...")
-            calib = [np.clip(base.astype(np.int16)
-                             + rng_np.integers(-16, 17, base.shape), 0, 255
-                             ).astype(np.uint8)[:112, :112][None]
-                     .repeat(16, 0) for _ in range(2)]
-            pipe_q.calibrate_embedder(calib, headroom=1.25)
-            _, warm_c = varied_batches(fb, 5)
-            pipe_q.recognize_frames(warm_c).embeddings.block_until_ready()
-            dev_c = device_time_per_call(
-                lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
-            if dev_c:
-                extra["batch8_int8_calibrated_device_ms"] = dev_c * 1e3
-                extra["int8_calibrated_slots_per_sec"] = (
-                    cfg.det_maxFacesPerScene * len(frames) / dev_c)
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"int8 embedder sections skipped: {e}")
+    # opt-in int8-embedder serving points (rec_quantize; ~1.6e-3 cosine
+    # drift, docs/PARITY.md) — the headline stays the default bf16 path.
+    # Dynamic-scale batch-8 first, then calibration (mutates pipe_q's
+    # params) and the calibrated b8/b64 points == configs/throughput.json.
+    from dataclasses import replace as _cfg_replace
+    pipe_q = FacePipeline(_cfg_replace(cfg, rec_quantize=True,
+                                       gallery_dtype="int8"), det, rec)
+    assert pipe_q.align
 
-        # throughput-optimal batch (server_batchSize=64): MXU utilization
-        # of the C=64 ArcFace stages keeps rising with batch (measured
-        # b8 -> b64: bf16 6,978 -> 9,505; calibrated int8 9,999 -> 12,679
-        # slots/sec) — the batch/offline-enrollment configuration.
-        # Failure-tolerant: a miss here must not kill the bench.
-        try:
-            _log("profiling batch-64 device time (bf16 + calibrated int8)...")
-            fb64 = np.concatenate([fb ^ np.uint8(k) for k in range(8)])
-            fbs64, warm64 = varied_batches(fb64, 1)
-            pipe.recognize_frames(warm64).embeddings.block_until_ready()
-            dev64 = device_time_per_call(
-                lambda j: pipe.recognize_frames(fbs64[j]).embeddings, 5)
-            if dev64:
-                extra["batch64_device_ms"] = dev64 * 1e3
-                extra["batch64_device_slots_per_sec"] = (
-                    cfg.det_maxFacesPerScene * 64 / dev64)
-            pipe_q.recognize_frames(warm64).embeddings.block_until_ready()
-            dev64q = device_time_per_call(
-                lambda j: pipe_q.recognize_frames(fbs64[j]).embeddings, 5)
-            if dev64q:
-                extra["batch64_int8_calibrated_device_ms"] = dev64q * 1e3
-                extra["batch64_int8_calibrated_slots_per_sec"] = (
-                    cfg.det_maxFacesPerScene * 64 / dev64q)
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"batch-64 section skipped: {e}")
+    def s_int8_dynamic():
+        _, warm = varied_batches(fb, 4)
+        pipe_q.recognize_frames(warm).embeddings.block_until_ready()
+        dev_q = device_time_per_call(
+            lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
+        if dev_q:
+            extra["batch8_int8_embedder_device_ms"] = dev_q * 1e3
+            extra["int8_embedder_slots_per_sec"] = (
+                slots * len(frames) / dev_q)
+    section(em, "int8-dynamic-batch8", s_int8_dynamic)
 
-        # batch-32 ladder point (between the latency and throughput
-        # knees; completes the README batch ladder). Failure-tolerant.
-        try:
-            _log("profiling batch-32 device time (bf16 + calibrated int8)...")
-            fb32 = np.concatenate([fb ^ np.uint8(k + 16) for k in range(4)])
-            fbs32, warm32 = varied_batches(fb32, 1)
-            pipe.recognize_frames(warm32).embeddings.block_until_ready()
-            dev32 = device_time_per_call(
-                lambda j: pipe.recognize_frames(fbs32[j]).embeddings, 5)
-            if dev32:
-                extra["batch32_device_ms"] = dev32 * 1e3
-                extra["batch32_device_slots_per_sec"] = (
-                    cfg.det_maxFacesPerScene * 32 / dev32)
-            pipe_q.recognize_frames(warm32).embeddings.block_until_ready()
-            dev32q = device_time_per_call(
-                lambda j: pipe_q.recognize_frames(fbs32[j]).embeddings, 5)
-            if dev32q:
-                extra["batch32_int8_calibrated_device_ms"] = dev32q * 1e3
-                extra["batch32_int8_calibrated_slots_per_sec"] = (
-                    cfg.det_maxFacesPerScene * 32 / dev32q)
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"batch-32 section skipped: {e}")
+    def s_int8_calibrated():
+        # calibrated int8: static activation scales (no per-conv amax
+        # reduction pass) — facekit's fastest embedder point. Headroom
+        # matches the server's rec_calibrationHeadroom default.
+        calib = [np.clip(base.astype(np.int16)
+                         + rng_np.integers(-16, 17, base.shape), 0, 255
+                         ).astype(np.uint8)[:112, :112][None]
+                 .repeat(16, 0) for _ in range(2)]
+        pipe_q.calibrate_embedder(calib, headroom=1.25)
+        _, warm_c = varied_batches(fb, 5)
+        pipe_q.recognize_frames(warm_c).embeddings.block_until_ready()
+        dev_c = device_time_per_call(
+            lambda j: pipe_q.recognize_frames(fbs[j]).embeddings, 5)
+        if dev_c:
+            extra["batch8_int8_calibrated_device_ms"] = dev_c * 1e3
+            extra["int8_calibrated_slots_per_sec"] = (
+                slots * len(frames) / dev_c)
+        pipe_q.recognize_frames(warm64).embeddings.block_until_ready()
+        dev64q = device_time_per_call(
+            lambda j: pipe_q.recognize_frames(fbs64[j]).embeddings, 5)
+        if dev64q:
+            extra["batch64_int8_calibrated_device_ms"] = dev64q * 1e3
+            extra["batch64_int8_calibrated_slots_per_sec"] = (
+                slots * 64 / dev64q)
+    section(em, "int8-calibrated-b8-b64", s_int8_calibrated)
 
-        # detection-only at 640x640 (BASELINE.json config #2: RetinaFace
-        # anchor decode + landmarks + NMS at the square high-res input)
-        try:
-            _log("profiling detector-only 640x640...")
-            from dataclasses import replace as _cr
-            # exactness ON at 640x640 (16,800 anchors): the streaming
-            # chunked fallback replaced the r2 16,800^2 IoU matrix that the
-            # compiler rejected, so the full-candidate guarantee now holds
-            # at every geometry (VERDICT r2 missing #1)
-            cfg640 = _cr(cfg, det_inputShape=(3, 640, 640),
-                         det_nmsTopK=256, det_nmsExact=True)
-            pipe640 = FacePipeline(cfg640, det, rec)
-            iy = np.arange(640) * base.shape[0] // 640
-            ix = np.arange(640) * base.shape[1] // 640
-            sq_base = base[iy][:, ix].astype(np.int16)   # nearest 640x640
-            sq = np.stack([np.clip(
-                sq_base + rng_np.integers(-4, 5, sq_base.shape), 0, 255
-            ).astype(np.uint8) for _ in range(8)])
-            sqs, warm_d = varied_batches(sq, 1)
-            jax.block_until_ready(pipe640.detect_frames(warm_d).boxes)
-            dev_d = device_time_per_call(
-                lambda j: pipe640.detect_frames(sqs[j]).boxes, 5)
-            if dev_d:
-                extra["det640_batch8_device_ms"] = dev_d * 1e3
-                extra["det640_frames_per_sec"] = len(frames) / dev_d
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"detector-640 section skipped: {e}")
+    # wall-clock points (tunnel-laden but cheap): single-frame latency and
+    # batch-8 wall — the honest-accounting valid-face count lives here.
+    def s_wall():
+        times = bench_e2e(pipe, frames, iters=8)
+        extra["frame_p50_ms"] = _percentile(times, 50) * 1e3
+        extra["latency_slots_per_sec"] = slots / _percentile(times, 50)
+        res = pipe.recognize_frames(fb)
+        res.embeddings.block_until_ready()
+        bt = []
+        for j in range(4):
+            fb2 = np.roll(fb, j + 1, axis=0).copy()
+            fb2[0, 0, 0, 0] ^= 1  # perturb so the tunnel can't cache
+            t0 = time.perf_counter()
+            r = pipe.recognize_frames(fb2)
+            r.embeddings.block_until_ready()
+            bt.append(time.perf_counter() - t0)
+        p50_batch = _percentile(bt, 50)
+        extra["batch8_p50_ms"] = p50_batch * 1e3
+        extra["slots_per_batch"] = slots * len(frames)
+        extra["wall_slots_per_sec"] = slots * len(frames) / p50_batch
+        # honest accounting (VERDICT r1 item 10): slots/sec is the compute
+        # done (padded det_maxFacesPerScene slots/frame); the measured
+        # valid-face count on THIS input is reported alongside, never
+        # conflated. With random-init weights (the reference ships no
+        # checkpoints) valid is typically 0 at the production threshold —
+        # the all-valid forced-detections number lands in s_replypath.
+        valid = int(np.asarray(res.valid).sum())
+        extra["measured_valid_faces_per_batch"] = valid
+        extra["measured_valid_faces_per_sec"] = valid / p50_batch
+    section(em, "wall-clock", s_wall, budget=600.0)
 
-        # cost of the streaming exact-NMS fallback branch when it IS taken:
-        # batch-64 frames each carrying a dense 200-box crowd + hidden
-        # isolated faces (the shape that defeats the top-128 window).
-        # VERDICT r2 weak #2: this branch's device time was never measured.
-        try:
-            _log("profiling exact-NMS fallback branch (batch-64 crowd)...")
-            import jax.numpy as jnp
-            from facekit.ops.boxes import select_faces_batch
-            from facekit.ops.anchors import generate_anchors
-            ihw = cfg.det_hw
-            anchors_n = generate_anchors(ihw)
-            A = anchors_n.shape[0]
-            stack = np.tile([[100.0, 100.0, 160.0, 160.0]], (200, 1))
-            iso = np.array([[10, 10, 40, 40], [200, 10, 240, 50],
-                            [10, 200, 50, 240], [250, 200, 290, 240],
-                            [120, 220, 160, 260]], np.float32)
-            cb = np.concatenate([stack, iso], 0).astype(np.float32)
-            h, w = ihw
-            syn = np.stack([(cb[:, 0] + cb[:, 2]) / 2 / w,
-                            (cb[:, 1] + cb[:, 3]) / 2 / h,
-                            (cb[:, 2] - cb[:, 0]) / w,
-                            (cb[:, 3] - cb[:, 1]) / h], -1)
-            anp = np.asarray(anchors_n).copy()
-            anp[:len(syn)] = syn
-            cfn = np.zeros((A,), np.float32)
-            cfn[:200] = np.linspace(0.99, 0.9, 200)
-            cfn[200:205] = np.linspace(0.8, 0.7, 5)
-            conf_b = np.stack([1 - cfn, cfn], -1)[None].repeat(64, 0)
-            loc_b = np.zeros((64, A, 4), np.float32)
-            anchors_c = jnp.asarray(anp)
+    # ladder points between the knees: batch-16, batch-32, batch-1
+    def s_batch16():
+        fb16 = np.concatenate([fb, fb[::-1] ^ np.uint8(2)])
+        fbs16, warm16 = varied_batches(fb16, 1)
+        pipe.recognize_frames(warm16).embeddings.block_until_ready()
+        dev16 = device_time_per_call(
+            lambda j: pipe.recognize_frames(fbs16[j]).embeddings, 5)
+        if dev16:
+            extra["batch16_device_ms"] = dev16 * 1e3
+            extra["batch16_device_slots_per_sec"] = slots * 16 / dev16
+    section(em, "batch16-device", s_batch16)
 
-            def run_nms(j):
-                lb = jnp.asarray(loc_b + j * 1e-7)   # unique per call
-                return select_faces_batch(
-                    lb, jnp.asarray(conf_b), anchors_c, ihw, ihw,
-                    max_faces=cfg.det_maxFacesPerScene, score_threshold=0.6,
-                    iou_threshold=0.4, nms_top_k=cfg.det_nmsTopK,
-                    nms_exact=True).boxes
-            jax.block_until_ready(run_nms(99))
-            dev_f = device_time_per_call(run_nms, 5)
-            if dev_f:
-                extra["nms_fallback_batch64_device_ms"] = dev_f * 1e3
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"nms-fallback section skipped: {e}")
+    def s_batch32():
+        fb32 = np.concatenate([fb ^ np.uint8(k + 16) for k in range(4)])
+        fbs32, warm32 = varied_batches(fb32, 1)
+        pipe.recognize_frames(warm32).embeddings.block_until_ready()
+        dev32 = device_time_per_call(
+            lambda j: pipe.recognize_frames(fbs32[j]).embeddings, 5)
+        if dev32:
+            extra["batch32_device_ms"] = dev32 * 1e3
+            extra["batch32_device_slots_per_sec"] = slots * 32 / dev32
+        pipe_q.recognize_frames(warm32).embeddings.block_until_ready()
+        dev32q = device_time_per_call(
+            lambda j: pipe_q.recognize_frames(fbs32[j]).embeddings, 5)
+        if dev32q:
+            extra["batch32_int8_calibrated_device_ms"] = dev32q * 1e3
+            extra["batch32_int8_calibrated_slots_per_sec"] = (
+                slots * 32 / dev32q)
+    section(em, "batch32-device", s_batch32)
 
-        # the COMPLETE serving transaction: fused detect + align + embed +
-        # 1M-row gallery match in one device program (what WS /inference
-        # actually dispatches; the reference's whole hot path
-        # src/app.cpp:293-352 + matmul + argmax)
-        _log("profiling batch-8 identify vs 1M gallery...")
-        import jax.numpy as jnp
-        _, warm2 = varied_batches(fb, 6)
-        try:
-            gal = jax.random.normal(jax.random.PRNGKey(7), (1 << 20, 512),
-                                    jnp.bfloat16)
-            gal = gal / jnp.linalg.norm(gal.astype(jnp.float32), axis=1,
-                                        keepdims=True).astype(jnp.bfloat16)
-            pipe.recognize_and_match(warm2, gal, 1 << 20,
-                                     use_pallas=True)[1].block_until_ready()
-            dev_i = device_time_per_call(
-                lambda j: pipe.recognize_and_match(fbs[j], gal, 1 << 20,
-                                                   use_pallas=True)[1], 5)
-            if dev_i:
-                extra["batch8_identify_1M_device_ms"] = dev_i * 1e3
-                extra["identify_1M_slots_per_sec"] = (
-                    cfg.det_maxFacesPerScene * len(frames) / dev_i)
-            del gal
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"identify section skipped: {e}")
+    def s_batch1():
+        # the LONE-REQUEST latency the shipped bucket ladder serves
+        # (configs/default.json server_batchBuckets [1, 8] — an
+        # idle-device request dispatches alone on the batch-1 program
+        # instead of padding to 8).
+        fbs1, warm1 = varied_batches(fb[:1], 3)
+        pipe.recognize_frames(warm1).embeddings.block_until_ready()
+        dev1 = device_time_per_call(
+            lambda j: pipe.recognize_frames(fbs1[j]).embeddings, 5)
+        if dev1:
+            extra["batch1_device_ms"] = dev1 * 1e3
+    section(em, "batch1-device", s_batch1)
 
-        # reply path under DETECTIONS (VERDICT r3 weak #7): with
-        # random-init weights the production threshold yields 0 valid
-        # slots, so the WS reply's crop gather (one take_along_axis + one
-        # host transfer per batch, server/app.py _inference_batch) was
-        # never timed with work to do. threshold=0 validates every slot:
-        # this times the full dispatch + the per-frame best-crop select
-        # + transfer exactly as the server runs it.
-        try:
-            _log("profiling reply path with all slots valid (threshold 0)...")
-            import jax.numpy as jnp
-            from dataclasses import replace as _cr2
-            pipe_f = FacePipeline(_cr2(cfg, det_threshold_bbox=0.0),
-                                  det, rec)
-            galf = jax.random.normal(jax.random.PRNGKey(9), (1 << 14, 512),
-                                     jnp.bfloat16)
+    # the COMPLETE serving transaction: fused detect + align + embed +
+    # 1M-row gallery match in one device program (what WS /inference
+    # actually dispatches; the reference's whole hot path
+    # src/app.cpp:293-352 + matmul + argmax)
+    import jax.numpy as jnp
+    _, warm2 = varied_batches(fb, 6)
 
-            def reply_path(f):
-                res, sims, _ = pipe_f.recognize_and_match(
-                    f, galf, 1 << 14, use_pallas=True, return_crops=True)
-                valid = np.asarray(res.valid)
-                vals = np.asarray(sims)[:, :, 0]
-                best = np.where(valid, vals, -np.inf).argmax(axis=1)
-                sel = jnp.take_along_axis(
-                    res.crops, jnp.asarray(best)[:, None, None, None, None],
-                    axis=1)[:, 0]
-                return valid, np.clip(np.asarray(sel), 0, 255
-                                      ).astype(np.uint8)
-            _, warm_f = varied_batches(fb, 2)
-            v0, _ = reply_path(warm_f)
-            extra["replypath_valid_slots_per_batch8"] = int(v0.sum())
-            rt = []
-            for j in range(5):
-                f = fbs[j].copy()
-                f[0, 8, 8, 0] ^= np.uint8(j + 3)
-                t0 = time.perf_counter()
-                _, crops = reply_path(f)
-                rt.append(time.perf_counter() - t0)
-            extra["replypath_batch8_allvalid_wall_ms"] = (
-                _percentile(rt, 50) * 1e3)
-            dev_r = device_time_per_call(
-                lambda j: pipe_f.recognize_and_match(
-                    fbs[j], galf, 1 << 14, use_pallas=True,
-                    return_crops=True)[1], 5)
-            if dev_r:
-                extra["replypath_batch8_allvalid_device_ms"] = dev_r * 1e3
-            del galf
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"reply-path section skipped: {e}")
+    def s_identify():
+        gal = jax.random.normal(jax.random.PRNGKey(7), (1 << 20, 512),
+                                jnp.bfloat16)
+        gal = gal / jnp.linalg.norm(gal.astype(jnp.float32), axis=1,
+                                    keepdims=True).astype(jnp.bfloat16)
+        pipe.recognize_and_match(warm2, gal, 1 << 20,
+                                 use_pallas=True)[1].block_until_ready()
+        dev_i = device_time_per_call(
+            lambda j: pipe.recognize_and_match(fbs[j], gal, 1 << 20,
+                                               use_pallas=True)[1], 5)
+        if dev_i:
+            extra["batch8_identify_1M_device_ms"] = dev_i * 1e3
+            extra["identify_1M_slots_per_sec"] = slots * len(frames) / dev_i
+    section(em, "identify-1M", s_identify)
 
-        # the full int8 point: CALIBRATED rec_quantize embedder (pipe_q was
-        # calibrated above) + int8 gallery with per-row scales, still one
-        # fused device program
-        _log("profiling batch-8 int8 identify vs 1M int8 gallery...")
-        try:
-            from facekit.ops.similarity import quantize_rows_int8
-            gq, gsc2 = quantize_rows_int8(
-                jax.random.normal(jax.random.PRNGKey(8), (1 << 20, 512),
-                                  jnp.float32))
-            pipe_q.recognize_and_match(
-                warm2, gq, 1 << 20, use_pallas=True,
-                gallery_scale=gsc2)[1].block_until_ready()
-            dev_qi = device_time_per_call(
-                lambda j: pipe_q.recognize_and_match(
-                    fbs[j], gq, 1 << 20, use_pallas=True,
-                    gallery_scale=gsc2)[1], 5)
-            if dev_qi:
-                extra["batch8_identify_1M_int8_device_ms"] = dev_qi * 1e3
-                extra["identify_1M_int8_slots_per_sec"] = (
-                    cfg.det_maxFacesPerScene * len(frames) / dev_qi)
-            del gq, gsc2
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"int8 identify section skipped: {e}")
+    def s_identify_int8():
+        # the full int8 point: CALIBRATED rec_quantize embedder (pipe_q
+        # was calibrated above) + int8 gallery with per-row scales, still
+        # one fused device program
+        from facekit.ops.similarity import quantize_rows_int8
+        gq2, gsc2 = quantize_rows_int8(
+            jax.random.normal(jax.random.PRNGKey(8), (1 << 20, 512),
+                              jnp.float32))
+        pipe_q.recognize_and_match(
+            warm2, gq2, 1 << 20, use_pallas=True,
+            gallery_scale=gsc2)[1].block_until_ready()
+        dev_qi = device_time_per_call(
+            lambda j: pipe_q.recognize_and_match(
+                fbs[j], gq2, 1 << 20, use_pallas=True,
+                gallery_scale=gsc2)[1], 5)
+        if dev_qi:
+            extra["batch8_identify_1M_int8_device_ms"] = dev_qi * 1e3
+            extra["identify_1M_int8_slots_per_sec"] = (
+                slots * len(frames) / dev_qi)
+    section(em, "identify-1M-int8", s_identify_int8)
 
-    if on_tpu:
-        # 2^20 rows: tile-aligned like the production bucket ladder, so the
-        # kernel sees the store's zero-copy layout
-        _log("1M-gallery search bench (pallas)...")
+    # reply path under DETECTIONS (VERDICT r3 weak #7 / r4 weak #4): with
+    # random-init weights the production threshold yields 0 valid slots,
+    # so threshold=0 validates EVERY slot: this times the full dispatch +
+    # per-frame best-crop select + transfer exactly as the server runs
+    # it, and gives the honest all-valid FACES/sec number.
+    def s_replypath():
+        from dataclasses import replace as _cr2
+        pipe_f = FacePipeline(_cr2(cfg, det_threshold_bbox=0.0), det, rec)
+        galf = jax.random.normal(jax.random.PRNGKey(9), (1 << 14, 512),
+                                 jnp.bfloat16)
+
+        def reply_path(f):
+            res, sims, _ = pipe_f.recognize_and_match(
+                f, galf, 1 << 14, use_pallas=True, return_crops=True)
+            valid = np.asarray(res.valid)
+            vals = np.asarray(sims)[:, :, 0]
+            best = np.where(valid, vals, -np.inf).argmax(axis=1)
+            sel = jnp.take_along_axis(
+                res.crops, jnp.asarray(best)[:, None, None, None, None],
+                axis=1)[:, 0]
+            return valid, np.clip(np.asarray(sel), 0, 255).astype(np.uint8)
+        _, warm_f = varied_batches(fb, 2)
+        v0, _ = reply_path(warm_f)
+        extra["replypath_valid_slots_per_batch8"] = int(v0.sum())
+        rt = []
+        for j in range(5):
+            f = fbs[j].copy()
+            f[0, 8, 8, 0] ^= np.uint8(j + 3)
+            t0 = time.perf_counter()
+            _, crops = reply_path(f)
+            rt.append(time.perf_counter() - t0)
+        extra["replypath_batch8_allvalid_wall_ms"] = (
+            _percentile(rt, 50) * 1e3)
+        dev_r = device_time_per_call(
+            lambda j: pipe_f.recognize_and_match(
+                fbs[j], galf, 1 << 14, use_pallas=True,
+                return_crops=True)[1], 5)
+        if dev_r:
+            extra["replypath_batch8_allvalid_device_ms"] = dev_r * 1e3
+            # every one of these slots is a REAL validated detection
+            # carried through detect+align+embed+match+crop-reply — the
+            # nonzero faces/sec record (VERDICT r4 weak #4)
+            extra["measured_allvalid_faces_per_sec"] = int(v0.sum()) / dev_r
+    section(em, "replypath-allvalid", s_replypath)
+
+    # 1M-row search kernels: wall (pipelined) + device-side ground truth
+    def s_search_wall():
         pallas_times = bench_search(1 << 20, 16, 12, use_pallas=True)
-        _log("1M-gallery search bench (xla)...")
         xla_times = bench_search(1 << 20, 16, 12, use_pallas=False)
-        _log("1M-gallery search bench (int8 pallas)...")
         int8_times = bench_search(1 << 20, 16, 12, dtype="int8")
-        extra["search_1M_b16_pallas_wall_ms"] = _percentile(pallas_times, 50) * 1e3
+        extra["search_1M_b16_pallas_wall_ms"] = (
+            _percentile(pallas_times, 50) * 1e3)
         extra["search_1M_b16_xla_wall_ms"] = _percentile(xla_times, 50) * 1e3
-        extra["search_1M_b16_int8_wall_ms"] = _percentile(int8_times, 50) * 1e3
+        extra["search_1M_b16_int8_wall_ms"] = (
+            _percentile(int8_times, 50) * 1e3)
+    section(em, "search-1M-wall", s_search_wall)
 
-        # device-side ground truth for the search kernels
-        import jax.numpy as jnp
+    def s_search_device():
         from facekit.ops.similarity import (cosine_topk_int8_pallas,
                                             cosine_topk_pallas,
                                             cosine_topk_xla,
@@ -610,13 +677,10 @@ def main():
         jax.block_until_ready(cosine_topk_xla(g, qset[5], cnt, k=1))
         jax.block_until_ready(cosine_topk_int8_pallas(gq, gsc, qset32[5],
                                                       cnt, k=1))
-        _log("profiling search device time (pallas)...")
         tp = device_time_per_call(
             lambda j: cosine_topk_pallas(g, qset[j], cnt, k=1)[0], 5)
-        _log("profiling search device time (xla)...")
         tx = device_time_per_call(
             lambda j: cosine_topk_xla(g, qset[j], cnt, k=1)[0], 5)
-        _log("profiling search device time (int8 pallas)...")
         ti = device_time_per_call(
             lambda j: cosine_topk_int8_pallas(gq, gsc, qset32[j], cnt,
                                               k=1)[0], 5)
@@ -624,74 +688,114 @@ def main():
             extra["search_1M_b16_pallas_device_ms"] = tp * 1e3
             extra["search_bf16_eff_GBps"] = n_rows * 512 * 2 / tp / 1e9
             # regression floor: the bf16 kernel is HBM-bound at ~750 GB/s
-            # on v5e; below 600 GB/s something broke — fail the bench
-            assert extra["search_bf16_eff_GBps"] > 600, extra
+            # on v5e; below 600 GB/s something broke. Recorded as an
+            # alert, not an assert — a regression must not cost the
+            # round its record (it costs the round its headline claim).
+            if extra["search_bf16_eff_GBps"] < 600:
+                extra["alert_search_bf16_below_600GBps"] = (
+                    extra["search_bf16_eff_GBps"])
         if tx:
             extra["search_1M_b16_xla_device_ms"] = tx * 1e3
         if ti:
             extra["search_1M_int8_pallas_device_ms"] = ti * 1e3
             extra["search_int8_eff_GBps"] = (
                 n_rows * 512 + n_rows * 4) / ti / 1e9
-            assert extra["search_int8_eff_GBps"] > 600, extra
-        del g, gq, gsc
+            if extra["search_int8_eff_GBps"] < 600:
+                extra["alert_search_int8_below_600GBps"] = (
+                    extra["search_int8_eff_GBps"])
 
         # single-chip gallery-scale headroom: 8M int8 rows = 4 GB HBM,
         # 8000x the reference README's demo gallery, still one kernel
         # call. The gallery is generated DIRECTLY as int8 (+unit scales):
-        # kernel time is content-independent (pure HBM stream + MXU
-        # dot), and an 8M-row f32 source would need 16 GB. Failure-
-        # tolerant: an OOM here must not kill the bench line.
-        try:
-            _log("profiling 8M-row int8 gallery search device time...")
-            big_n = 1 << 23
-            # chunked generation: one randint program over (8M, 512)
-            # materializes 16 GB of u32 bits and OOMs the 16 GB chip;
-            # 8x 1M chunks peak at ~2 GB each
-            parts = [jax.random.randint(jax.random.PRNGKey(2 + c),
-                                        (1 << 20, 512), -127, 128,
-                                        jnp.int8) for c in range(8)]
-            gq8 = jnp.concatenate(parts)
-            del parts
-            gs8 = jnp.full((big_n,), 1.0 / 127, jnp.float32)
-            cnt8 = jnp.int32(big_n)
-            jax.block_until_ready(
-                cosine_topk_int8_pallas(gq8, gs8, qset32[5], cnt8, k=1))
-            t8 = device_time_per_call(
-                lambda j: cosine_topk_int8_pallas(gq8, gs8, qset32[j],
-                                                  cnt8, k=1)[0], 5)
-            if t8:
-                extra["search_8M_int8_pallas_device_ms"] = t8 * 1e3
-                extra["search_8M_int8_eff_GBps"] = (
-                    big_n * 512 + big_n * 4) / t8 / 1e9
-            del gq8, gs8
-        except Exception as e:  # pragma: no cover - bench resilience
-            _log(f"8M-gallery section skipped: {e}")
-    else:  # CPU smoke: small gallery, xla path
-        search_times = bench_search(10_000, 16, 5, use_pallas=False)
-        extra["search_10k_b16_p50_ms_cpu"] = _percentile(search_times, 50) * 1e3
+        # kernel time is content-independent (pure HBM stream + MXU dot),
+        # and an 8M-row f32 source would need 16 GB. Chunked generation:
+        # one randint program over (8M, 512) materializes 16 GB of u32
+        # bits and OOMs the 16 GB chip; 8x 1M chunks peak at ~2 GB each.
+        big_n = 1 << 23
+        parts = [jax.random.randint(jax.random.PRNGKey(2 + c),
+                                    (1 << 20, 512), -127, 128,
+                                    jnp.int8) for c in range(8)]
+        gq8 = jnp.concatenate(parts)
+        del parts
+        gs8 = jnp.full((big_n,), 1.0 / 127, jnp.float32)
+        cnt8 = jnp.int32(big_n)
+        jax.block_until_ready(
+            cosine_topk_int8_pallas(gq8, gs8, qset32[5], cnt8, k=1))
+        t8 = device_time_per_call(
+            lambda j: cosine_topk_int8_pallas(gq8, gs8, qset32[j],
+                                              cnt8, k=1)[0], 5)
+        if t8:
+            extra["search_8M_int8_pallas_device_ms"] = t8 * 1e3
+            extra["search_8M_int8_eff_GBps"] = (
+                big_n * 512 + big_n * 4) / t8 / 1e9
+        del gq8, gs8
+    section(em, "search-1M-device", s_search_device)
 
-    # headline = the best measured stock bf16 serving config (each is a
-    # one-line server_batchSize change; extra labels which one won and
-    # keeps every per-config number — int8 points stay labeled extras)
-    candidates = [
-        (extra.get("device_slots_per_sec", 0), "bf16 batch-8 (default config)"),
-        (extra.get("batch16_device_slots_per_sec", 0),
-         "bf16 batch-16 (server_batchSize=16)"),
-        (extra.get("batch64_device_slots_per_sec", 0),
-         "bf16 batch-64 (server_batchSize=64, throughput config)"),
-    ]
-    best, label = max(candidates)
-    if best > 0:
-        slots_per_sec = best
-        extra["headline_config"] = label
+    # detection-only at 640x640 (BASELINE.json config #2: RetinaFace
+    # anchor decode + landmarks + NMS at the square high-res input).
+    # exactness ON at 640x640 (16,800 anchors): the streaming chunked
+    # fallback replaced the r2 16,800^2 IoU matrix the compiler rejected,
+    # so the full-candidate guarantee holds at every geometry.
+    def s_det640():
+        from dataclasses import replace as _cr
+        cfg640 = _cr(cfg, det_inputShape=(3, 640, 640),
+                     det_nmsTopK=256, det_nmsExact=True)
+        pipe640 = FacePipeline(cfg640, det, rec)
+        iy = np.arange(640) * base.shape[0] // 640
+        ix = np.arange(640) * base.shape[1] // 640
+        sq_base = base[iy][:, ix].astype(np.int16)   # nearest 640x640
+        sq = np.stack([np.clip(
+            sq_base + rng_np.integers(-4, 5, sq_base.shape), 0, 255
+        ).astype(np.uint8) for _ in range(8)])
+        sqs, warm_d = varied_batches(sq, 1)
+        jax.block_until_ready(pipe640.detect_frames(warm_d).boxes)
+        dev_d = device_time_per_call(
+            lambda j: pipe640.detect_frames(sqs[j]).boxes, 5)
+        if dev_d:
+            extra["det640_batch8_device_ms"] = dev_d * 1e3
+            extra["det640_frames_per_sec"] = len(frames) / dev_d
+    section(em, "det640", s_det640)
 
-    print(json.dumps({
-        "metric": "slots/sec end-to-end (detect+align+embed, padded slots)",
-        "value": round(slots_per_sec, 2),
-        "unit": "slots/sec",
-        "vs_baseline": round(slots_per_sec / 2000.0, 4),
-        "extra": extra,
-    }))
+    # cost of the streaming exact-NMS fallback branch when it IS taken:
+    # batch-64 frames each carrying a dense 200-box crowd + hidden
+    # isolated faces (the shape that defeats the top-128 window).
+    def s_nms_fallback():
+        from facekit.ops.anchors import generate_anchors
+        from facekit.ops.boxes import select_faces_batch
+        ihw = cfg.det_hw
+        anchors_n = generate_anchors(ihw)
+        A = anchors_n.shape[0]
+        stack = np.tile([[100.0, 100.0, 160.0, 160.0]], (200, 1))
+        iso = np.array([[10, 10, 40, 40], [200, 10, 240, 50],
+                        [10, 200, 50, 240], [250, 200, 290, 240],
+                        [120, 220, 160, 260]], np.float32)
+        cb = np.concatenate([stack, iso], 0).astype(np.float32)
+        h, w = ihw
+        syn = np.stack([(cb[:, 0] + cb[:, 2]) / 2 / w,
+                        (cb[:, 1] + cb[:, 3]) / 2 / h,
+                        (cb[:, 2] - cb[:, 0]) / w,
+                        (cb[:, 3] - cb[:, 1]) / h], -1)
+        anp = np.asarray(anchors_n).copy()
+        anp[:len(syn)] = syn
+        cfn = np.zeros((A,), np.float32)
+        cfn[:200] = np.linspace(0.99, 0.9, 200)
+        cfn[200:205] = np.linspace(0.8, 0.7, 5)
+        conf_b = np.stack([1 - cfn, cfn], -1)[None].repeat(64, 0)
+        loc_b = np.zeros((64, A, 4), np.float32)
+        anchors_c = jnp.asarray(anp)
+
+        def run_nms(j):
+            lb = jnp.asarray(loc_b + j * 1e-7)   # unique per call
+            return select_faces_batch(
+                lb, jnp.asarray(conf_b), anchors_c, ihw, ihw,
+                max_faces=cfg.det_maxFacesPerScene, score_threshold=0.6,
+                iou_threshold=0.4, nms_top_k=cfg.det_nmsTopK,
+                nms_exact=True).boxes
+        jax.block_until_ready(run_nms(99))
+        dev_f = device_time_per_call(run_nms, 5)
+        if dev_f:
+            extra["nms_fallback_batch64_device_ms"] = dev_f * 1e3
+    section(em, "nms-fallback", s_nms_fallback)
 
 
 if __name__ == "__main__":

@@ -185,13 +185,24 @@ def topology_mesh(mesh_shape: Dict[str, int], topology: str = "v5e:2x4"):
 
 
 def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
-                           mesh=None):
+                           mesh=None,
+                           platforms: Optional[Sequence[str]] = ("tpu",),
+                           use_pallas: Optional[bool] = None,
+                           return_crops: bool = False):
     """Export the COMPLETE identification transaction — detect -> align ->
     embed -> gallery match, one program — optionally sharded over a
     multi-chip mesh (frames over "data", gallery rows over "gallery";
     the v5e-8 serving layout). With a topology mesh the artifact embeds
     the sharding annotations and deploys on a real slice of that shape —
-    facekit's answer to shipping per-target TensorRT engines.
+    facekit's answer to shipping per-target TensorRT engines. Loaded and
+    served by :class:`IdentifyEngine` (standalone) or a ``FaceServer``
+    with a matching ``mesh_shape`` + ``--engines``.
+
+    ``platforms=["cpu"]`` with ``use_pallas=False`` exports the XLA-search
+    variant, runnable on a virtual CPU mesh — the CI-testable shape of the
+    same artifact. ``return_crops`` appends the aligned per-face crops as
+    a seventh output (required by the server's WS reply, like the
+    recognize engines).
     """
     from jax.sharding import PartitionSpec as P
     from facekit.pipeline import recognize as R
@@ -203,6 +214,11 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
     gal_dtype = jnp.int8 if int8_gallery \
         else (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
               else jnp.float32)
+    if use_pallas is None:
+        # the fused Pallas search lowers for TPU only; a cpu-only export
+        # must take the XLA search path
+        use_pallas = (("tpu" in platforms) if platforms
+                      else (mesh is not None or tpu_default_backend()))
 
     if mesh is not None:
         axes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -237,19 +253,19 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
             iou_thr=cfg.det_threshold_nms,
             use_landmarks=pipeline.use_landmarks, align=pipeline.align,
             rec_network=cfg.rec_network, dtype=pipeline.dtype,
-            return_crops=False, k=cfg.gallery_topk,
-            use_pallas=(mesh is not None or tpu_default_backend()),
+            return_crops=return_crops, k=cfg.gallery_topk,
+            use_pallas=use_pallas,
             det_network=pipeline.det_network,
             gallery_scale=rest[0] if rest else None,
             mesh=mesh, gallery_axis="gallery", data_axis="data",
             nms_top_k=cfg.det_nmsTopK, nms_exact=cfg.det_nmsExact)
-        return res.boxes, res.scores, res.valid, res.embeddings, sims, idx
+        out = (res.boxes, res.scores, res.valid, res.embeddings, sims, idx)
+        return out + ((res.crops,) if return_crops else ())
 
     args = (_sds_tree(pipeline.det_params), _sds_tree(pipeline.rec_params),
             gal, count, frames) + ((scale,) if scale is not None else ())
-    # the fused Pallas search only lowers for TPU; the artifact is a TPU
-    # deployment artifact by construction
-    exp = jax_export.export(jax.jit(fn), platforms=["tpu"])(*args)
+    kw = {"platforms": list(platforms)} if platforms else {}
+    exp = jax_export.export(jax.jit(fn), **kw)(*args)
     meta = {
         "magic": _MAGIC,
         "program": "identify",
@@ -257,6 +273,9 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
         "gallery_rows": gallery_rows,
         "embed_dim": dim,
         "gallery_dtype": str(np.dtype(gal_dtype)),
+        "gallery_topk": cfg.gallery_topk,
+        "use_pallas": bool(use_pallas),
+        "return_crops": bool(return_crops),
         "frame_hw": list(cfg.frame_hw),
         "max_faces": cfg.det_maxFacesPerScene,
         "det_network": pipeline.det_network,
@@ -266,6 +285,16 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
         "mesh_shape": (dict(zip(mesh.axis_names, mesh.devices.shape))
                        if mesh is not None else None),
         "platforms": list(exp.platforms),
+        # detection statics frozen into the traced program (same contract
+        # as recognize engines: a stale artifact refuses at load, never
+        # silently serves old thresholds)
+        "det_hw": list(cfg.det_hw),
+        "det_threshold_bbox": cfg.det_threshold_bbox,
+        "det_threshold_nms": cfg.det_threshold_nms,
+        "det_nms_top_k": cfg.det_nmsTopK,
+        "det_nms_exact": bool(cfg.det_nmsExact),
+        "align": bool(pipeline.align),
+        "with_landmarks": bool(pipeline.use_landmarks),
         **_quant_meta(pipeline),
     }
     return exp.serialize(), meta
@@ -298,6 +327,166 @@ def load_engine(path: str) -> Tuple[Any, Dict[str, Any]]:
         raise ValueError(f"{path}: not a facekit engine")
     exported = jax_export.deserialize(blob)
     return exported.call, meta
+
+
+class IdentifyEngine:
+    """Loaded ``identify.fke`` — the deployable sharded identification
+    transaction, ready to dispatch.
+
+    The reference's UX is "the serving process boots from its compiled
+    artifacts" (``src/arcface.cpp:45-69``); for the multi-chip identify
+    artifact this class is that boot path: deserialize, bind to a live
+    device mesh matching the frozen ``mesh_shape``, and serve the complete
+    detect+align+embed+match transaction with correct input placement —
+    frames sharded over "data", gallery rows (and int8 scales) over
+    "gallery", params replicated. No model-building Python runs.
+
+    ``mesh=None`` builds a mesh of the frozen shape from the local
+    devices (``facekit.parallel.make_mesh``); a server passes its own
+    mesh so the engine shares the gallery store's placement (the store's
+    row-sharded buckets feed the call zero-copy).
+    """
+
+    def __init__(self, path: str, mesh=None):
+        import jax
+
+        call, meta = load_engine(path)
+        if meta.get("program") != "identify":
+            raise ValueError(f"{path}: not an identify engine "
+                             f"(program={meta.get('program')!r})")
+        backend = jax.default_backend()
+        plats = meta.get("platforms")
+        if plats and backend not in plats:
+            raise ValueError(
+                f"{path}: identify engine was exported for platforms "
+                f"{plats} but this process runs on {backend!r}")
+        frozen = meta.get("mesh_shape")
+        if frozen:
+            if mesh is None:
+                from facekit.parallel import make_mesh
+                mesh = make_mesh(dict(frozen))
+            got = dict(zip(mesh.axis_names, mesh.devices.shape))
+            if got != dict(frozen):
+                raise ValueError(
+                    f"{path}: engine is sharded for mesh {frozen} but the "
+                    f"serving mesh is {got}; re-export with "
+                    f"--identify-mesh "
+                    f"{','.join(f'{k}={v}' for k, v in got.items())}")
+        self.path = path
+        self.meta = meta
+        self.mesh = mesh
+        self.batch_size = int(meta["batch_size"])
+        self.gallery_rows = int(meta["gallery_rows"])
+        self.return_crops = bool(meta.get("return_crops"))
+        self.int8_gallery = meta.get("gallery_dtype") == "int8"
+        self._call = jax.jit(call)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._frames_sharding = NamedSharding(
+                mesh, P("data", None, None, None))
+        else:
+            self._frames_sharding = None
+
+    def __call__(self, det_params, rec_params, gallery, count, frames,
+                 gallery_scale=None):
+        """Dispatch one padded batch. Returns (boxes, scores, valid,
+        embeddings, sims, idx[, crops]) exactly like the jit serving path.
+
+        ``gallery`` (and int8 ``gallery_scale``) should already be
+        row-sharded over the mesh's "gallery" axis (a mesh-backed
+        GalleryStore snapshot is); ``frames`` is a host (B, H, W, 3) u8
+        array, placed over "data" here."""
+        import jax
+
+        if frames.shape[0] != self.batch_size:
+            raise ValueError(
+                f"{self.path}: engine frozen at batch {self.batch_size}, "
+                f"got {frames.shape[0]}")
+        if gallery.shape[0] != self.gallery_rows:
+            raise ValueError(
+                f"{self.path}: engine frozen at gallery capacity "
+                f"{self.gallery_rows}, got {gallery.shape[0]} — the "
+                f"gallery grew past the artifact; re-export identify.fke "
+                f"with --gallery-rows >= {gallery.shape[0]}")
+        if self.int8_gallery and gallery_scale is None:
+            raise ValueError(f"{self.path}: int8 identify engine needs "
+                             "the per-row gallery_scale")
+        if self._frames_sharding is not None:
+            frames = jax.device_put(np.ascontiguousarray(frames),
+                                    self._frames_sharding)
+        extra = ((gallery_scale,) if self.int8_gallery else ())
+        return self._call(det_params, rec_params, gallery,
+                          jnp.int32(count), frames, *extra)
+
+
+def load_identify_engines(engines_dir: str, config, pipeline, mesh
+                          ) -> Dict[int, IdentifyEngine]:
+    """Load + validate every ``identify*.fke`` in ``engines_dir`` for a
+    mesh-sharded server.
+
+    The multi-chip analog of :func:`load_serving_engines`: each artifact's
+    frozen statics (geometry, thresholds, networks, quantization, mesh
+    shape, gallery capacity, top-k) are checked against the serving
+    config, refusing loudly on any drift. Returns ``{batch:
+    IdentifyEngine}``; all artifacts must agree on the frozen gallery
+    capacity (the server pins its gallery bucket ladder to it).
+    """
+    quant = _quant_meta(pipeline)
+    cfg = config
+    found: Dict[int, IdentifyEngine] = {}
+    for fname in sorted(os.listdir(engines_dir)):
+        if not fname.endswith(".fke"):
+            continue
+        path = os.path.join(engines_dir, fname)
+        if not os.path.exists(path + ".json"):
+            raise ValueError(f"{path}: missing {path}.json sidecar "
+                             "(not a facekit engine?)")
+        with open(path + ".json") as f:
+            program = json.load(f).get("program")
+        if program != "identify":
+            continue      # single-device artifacts, not mesh-server food
+        eng = IdentifyEngine(path, mesh=mesh)
+        meta = eng.meta
+        _check_meta(path, meta, "rec_network", cfg.rec_network)
+        _check_meta(path, meta, "compute_dtype", cfg.compute_dtype)
+        _check_meta(path, meta, "rec_quantize", quant["rec_quantize"])
+        _check_meta(path, meta, "rec_calibrated", quant["rec_calibrated"])
+        if meta.get("rec_int8_residual") is not None:
+            _check_meta(path, meta, "rec_int8_residual",
+                        quant["rec_int8_residual"])
+        _check_meta(path, meta, "frame_hw", list(cfg.frame_hw))
+        _check_meta(path, meta, "max_faces", cfg.det_maxFacesPerScene)
+        _check_meta(path, meta, "det_network", pipeline.det_network)
+        _check_meta(path, meta, "det_hw", list(cfg.det_hw))
+        _check_meta(path, meta, "det_threshold_bbox", cfg.det_threshold_bbox)
+        _check_meta(path, meta, "det_threshold_nms", cfg.det_threshold_nms)
+        _check_meta(path, meta, "det_nms_top_k", cfg.det_nmsTopK)
+        _check_meta(path, meta, "det_nms_exact", bool(cfg.det_nmsExact))
+        _check_meta(path, meta, "align", bool(pipeline.align))
+        _check_meta(path, meta, "with_landmarks",
+                    bool(pipeline.use_landmarks))
+        _check_meta(path, meta, "gallery_topk", cfg.gallery_topk)
+        want_gal = ("int8" if cfg.gallery_dtype == "int8"
+                    else ("bfloat16" if cfg.compute_dtype == "bfloat16"
+                          else "float32"))
+        _check_meta(path, meta, "gallery_dtype", want_gal)
+        if not eng.return_crops:
+            raise ValueError(
+                f"{path}: identify engine was exported without the crops "
+                "output (--no-crops); the server's WS /inference reply "
+                "needs the aligned crop — re-export without --no-crops")
+        b = eng.batch_size
+        if b in found:
+            raise ValueError(f"{path}: duplicate identify engine for "
+                             f"batch {b} in {engines_dir}")
+        if found and eng.gallery_rows != next(
+                iter(found.values())).gallery_rows:
+            raise ValueError(
+                f"{path}: identify engines in {engines_dir} disagree on "
+                f"the frozen gallery capacity; re-export the full ladder "
+                f"in one `facekit.engine export` run")
+        found[b] = eng
+    return found
 
 
 def _check_meta(path: str, meta: Dict[str, Any], field: str,
@@ -474,10 +663,17 @@ def main(argv=None) -> None:
         shape = {k: int(v) for k, v in
                  (kv.split("=") for kv in args.identify_mesh.split(","))}
         mesh = topology_mesh(shape, args.topology)
-        blob, meta = export_identify_engine(pipe, batches[-1],
-                                            args.gallery_rows, mesh=mesh)
-        save_engine(os.path.join(args.out_dir, "identify.fke"), blob, meta)
-        print(f"identify.fke: {len(blob)} bytes {meta}")
+        for b in batches:
+            # one identify engine per batch bucket (like recognize/embed):
+            # a mesh-sharded server consumes the full ladder. Crops ride
+            # along by default — the WS reply needs them.
+            sfx = "" if len(batches) == 1 else f".b{b}"
+            blob, meta = export_identify_engine(
+                pipe, b, args.gallery_rows, mesh=mesh,
+                return_crops=not args.no_crops)
+            save_engine(os.path.join(args.out_dir, f"identify{sfx}.fke"),
+                        blob, meta)
+            print(f"identify{sfx}.fke: {len(blob)} bytes {meta}")
 
 
 if __name__ == "__main__":

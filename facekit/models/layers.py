@@ -61,7 +61,16 @@ def bn_init(channels: int) -> Dict[str, jnp.ndarray]:
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0,
            groups: int = 1, bias: Optional[jnp.ndarray] = None,
            dilation: int = 1) -> jnp.ndarray:
-    """NHWC conv with HWIO weights, torch-compatible symmetric padding."""
+    """NHWC conv with HWIO weights, torch-compatible symmetric padding.
+
+    bf16 inputs produce a bf16-output conv WITHOUT
+    ``preferred_element_type``: the TPU MXU accumulates in f32 either
+    way, so the single final rounding to bf16 is identical — and jax's
+    conv TRANSPOSE rejects (bf16 operands, f32 preferred), which would
+    break training under bf16 compute (make_train_step compute_dtype).
+    f32 inputs keep the explicit f32 accumulation annotation."""
+    preferred = {} if x.dtype == jnp.bfloat16 else \
+        {"preferred_element_type": jnp.float32}
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(stride, stride),
@@ -69,7 +78,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         rhs_dilation=(dilation, dilation),
-        preferred_element_type=jnp.float32,
+        **preferred,
     )
     if bias is not None:
         out = out + bias.astype(jnp.float32)

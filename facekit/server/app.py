@@ -31,6 +31,7 @@ import json
 import logging
 import os
 import threading
+import time
 from typing import Dict, Optional
 
 import numpy as np
@@ -252,9 +253,86 @@ class FaceServer:
             shape.setdefault("gallery", 1)
             mesh = make_mesh(shape)
         self.mesh = mesh
+        # micro-batching knobs (facekit extension; see server/batcher.py).
+        # server_batchBuckets (e.g. [1, 8, 64]) compiles a LADDER of
+        # padded batch shapes: each dispatch pads to the smallest bucket
+        # that fits the queue, so a lone request pays the batch-1
+        # program's latency (1.22 ms bf16 vs 4.42 padded to 8) while
+        # bursts get the big program's throughput (batch-64 knee,
+        # docs/ROADMAP.md). Default: the single server_batchSize bucket
+        # (one compile, the r1 behavior). Resolved BEFORE the gallery and
+        # engines: engine validation is per-bucket.
+        self.batch_size = int(config.extras.get("server_batchSize", 8))
+        raw_buckets = config.extras.get("server_batchBuckets")
+        buckets = ([int(b) for b in raw_buckets] if raw_buckets
+                   else [self.batch_size])
+        if mesh is not None and "data" in mesh.shape:
+            # padded batches shard over the data axis — keep divisible
+            d = mesh.shape["data"]
+            buckets = [((b + d - 1) // d) * d for b in buckets]
+        self.batch_buckets = sorted(set(buckets))
+        self.batch_size = self.batch_buckets[-1]
+        self.batch_wait_ms = float(config.extras.get("server_batchWaitMs", 3.0))
+        # engine-served mode (reference startup model: the serving process
+        # boots FROM the offline toolchain's artifacts — src/arcface.cpp:
+        # 45-69). With an engines dir the hot-path programs come from
+        # .fke files (no in-process trace); only the small gallery-match
+        # program stays jit, which also makes bucket growth cheap: the
+        # big detect+embed programs are gallery-independent and never
+        # recompile. With a MESH, the artifacts are identify*.fke — the
+        # complete sharded transaction incl. the gallery match, frozen at
+        # one gallery capacity (the gallery bucket ladder pins to it).
+        engines_dir = engines_dir or config.extras.get("server_enginesDir")
+        self.engines = None
+        self.identify_engines = None
+        self._engines_warmed = False
+        gallery_buckets = config.gallery_bucket_sizes
+        if engines_dir:
+            if mesh is not None:
+                from facekit.engine import load_identify_engines
+                self.identify_engines = load_identify_engines(
+                    engines_dir, config, self.pipeline, mesh)
+                missing = [b for b in self.batch_buckets
+                           if b not in self.identify_engines]
+                if missing:
+                    raise ValueError(
+                        f"{engines_dir}: no identify engine for batch "
+                        f"bucket(s) {missing} (found: "
+                        f"{sorted(self.identify_engines)}); export the "
+                        f"ladder with `python -m facekit.engine export -b "
+                        f"{','.join(map(str, self.batch_buckets))} "
+                        f"--identify-mesh "
+                        f"{','.join(f'{k}={v}' for k, v in mesh.shape.items())}`")
+                # the artifact froze the gallery capacity; serving pins
+                # the bucket ladder to it (growth past it refuses loudly
+                # at dispatch — a frozen artifact cannot resize, exactly
+                # like the reference's .engine files)
+                frozen_rows = next(iter(
+                    self.identify_engines.values())).gallery_rows
+                gallery_buckets = (frozen_rows,)
+                log.info("serving identify from engines in %s (batch "
+                         "buckets %s, gallery capacity %d)", engines_dir,
+                         sorted(self.identify_engines), frozen_rows)
+            else:
+                from facekit.engine import load_serving_engines
+                self.engines = load_serving_engines(engines_dir, config,
+                                                    self.pipeline)
+                missing = [b for b in self.batch_buckets
+                           if b not in self.engines["recognize"]
+                           or b not in self.engines["embed"]]
+                if missing:
+                    have = sorted(set(self.engines["recognize"])
+                                  & set(self.engines["embed"]))
+                    raise ValueError(
+                        f"{engines_dir}: no engine pair for batch bucket(s) "
+                        f"{missing} (pairs found: {have}); export the full "
+                        f"ladder with `python -m facekit.engine export -b "
+                        f"{','.join(map(str, self.batch_buckets))}`")
+                log.info("serving from engines in %s (batch buckets %s)",
+                         engines_dir, self.batch_buckets)
         self.gallery = GalleryStore(
             embed_dim=config.rec_outputDim,
-            buckets=config.gallery_bucket_sizes,
+            buckets=gallery_buckets,
             dtype=config.gallery_dtype,
             use_pallas=config.use_pallas_search,
             mesh=mesh)
@@ -278,58 +356,6 @@ class FaceServer:
             max_workers=int(config.extras.get("server_decodeThreads", 4)))
         from facekit.utils import LatencyTracker
         self.metrics = LatencyTracker()
-        # micro-batching knobs (facekit extension; see server/batcher.py).
-        # server_batchBuckets (e.g. [1, 8, 64]) compiles a LADDER of
-        # padded batch shapes: each dispatch pads to the smallest bucket
-        # that fits the queue, so a lone request pays the batch-1
-        # program's latency (1.22 ms bf16 vs 4.42 padded to 8) while
-        # bursts get the big program's throughput (batch-64 knee,
-        # docs/ROADMAP.md). Default: the single server_batchSize bucket
-        # (one compile, the r1 behavior).
-        self.batch_size = int(config.extras.get("server_batchSize", 8))
-        raw_buckets = config.extras.get("server_batchBuckets")
-        buckets = ([int(b) for b in raw_buckets] if raw_buckets
-                   else [self.batch_size])
-        if mesh is not None and "data" in mesh.shape:
-            # padded batches shard over the data axis — keep divisible
-            d = mesh.shape["data"]
-            buckets = [((b + d - 1) // d) * d for b in buckets]
-        self.batch_buckets = sorted(set(buckets))
-        self.batch_size = self.batch_buckets[-1]
-        self.batch_wait_ms = float(config.extras.get("server_batchWaitMs", 3.0))
-        # engine-served mode (reference startup model: the serving process
-        # boots FROM the offline toolchain's artifacts — src/arcface.cpp:
-        # 45-69). With an engines dir the hot-path programs come from
-        # .fke files (no in-process trace); only the small gallery-match
-        # program stays jit, which also makes bucket growth cheap: the
-        # big detect+embed programs are gallery-independent and never
-        # recompile.
-        engines_dir = engines_dir or config.extras.get("server_enginesDir")
-        self.engines = None
-        self._engines_warmed = False
-        if engines_dir:
-            if mesh is not None:
-                raise ValueError(
-                    "server_enginesDir with mesh_shape is unsupported: "
-                    "recognize/embed engines are single-device artifacts "
-                    "(multi-chip serving uses the jit path, or an "
-                    "identify.fke deployed standalone)")
-            from facekit.engine import load_serving_engines
-            self.engines = load_serving_engines(engines_dir, config,
-                                                self.pipeline)
-            missing = [b for b in self.batch_buckets
-                       if b not in self.engines["recognize"]
-                       or b not in self.engines["embed"]]
-            if missing:
-                have = sorted(set(self.engines["recognize"])
-                              & set(self.engines["embed"]))
-                raise ValueError(
-                    f"{engines_dir}: no engine pair for batch bucket(s) "
-                    f"{missing} (pairs found: {have}); export the full "
-                    f"ladder with `python -m facekit.engine export -b "
-                    f"{','.join(map(str, self.batch_buckets))}`")
-            log.info("serving from engines in %s (batch buckets %s)",
-                     engines_dir, self.batch_buckets)
         # live-profiling hook (facekit extension; the reference has no
         # tracing at all, SURVEY.md §5.1): with "profiler_port" set, a
         # TensorBoard/xprof client can attach to the running server and
@@ -353,13 +379,31 @@ class FaceServer:
             self._warm_serving_programs(snap.arr, snap.count, snap.scales)
             if self.engines is None:
                 # /insert/face paths: cropped -> embed_cropped; uncropped
-                # -> the single-frame detect pipeline. Engine-served boots
-                # skip these (enrollment is not the hot path; it compiles
-                # lazily on first use, usually out of the persistent cache)
+                # -> the single-frame detect pipeline.
                 self.pipeline.embed_cropped(np.zeros((rh, rw, 3), np.uint8))
                 if not config.api_imgIsCropped:
                     self.pipeline.recognize_frame(
                         np.zeros((fh, fw, 3), np.uint8))
+            else:
+                # engine-served boot: warm the ENROLLMENT programs on a
+                # background thread instead of lazily on the serving
+                # executor — the first /insert/face after a cold-cache
+                # boot would otherwise compile a full single-frame
+                # pipeline on the device thread, stalling /recognize and
+                # WS batches for tens of seconds (r4 advisor finding).
+                def _warm_enroll():
+                    try:
+                        self.pipeline.embed_cropped(
+                            np.zeros((rh, rw, 3), np.uint8))
+                        if not config.api_imgIsCropped:
+                            self.pipeline.recognize_frame(
+                                np.zeros((fh, fw, 3), np.uint8))
+                        log.info("enrollment programs warmed (background)")
+                    except Exception as e:  # pragma: no cover
+                        log.warning("background enrollment warm failed: %s",
+                                    e)
+                threading.Thread(target=_warm_enroll, daemon=True,
+                                 name="facekit-warm-enroll").start()
             cap0 = self.gallery.capacity
             ev0 = threading.Event()
             ev0.set()
@@ -376,6 +420,24 @@ class FaceServer:
         import jax.numpy as jnp
         fh, fw = self.config.frame_hw
         rh, rw = self.config.rec_hw
+        if self.identify_engines is not None:
+            # identify mode: ONE frozen gallery capacity — warm each batch
+            # bucket's artifact once (first call compiles for the local
+            # devices, usually out of the persistent cache) plus the jit
+            # embed+match path (/recognize stays jit in identify mode)
+            for b in self.batch_buckets:
+                if not self._engines_warmed:
+                    self.identify_engines[b](
+                        self.pipeline.det_params, self.pipeline.rec_params,
+                        arr, max(count, 1),
+                        np.zeros((b, fh, fw, 3), np.uint8),
+                        gallery_scale=scales)
+                self.pipeline.embed_and_match(
+                    np.zeros((b, rh, rw, 3), np.uint8), arr, max(count, 1),
+                    use_pallas=self.gallery.use_pallas,
+                    gallery_scale=scales, mesh=self.mesh)
+            self._engines_warmed = True
+            return
         if self.engines is not None:
             # engine mode: the big detect+embed programs are GALLERY-
             # INDEPENDENT (warmed once, ever); per-capacity warming is
@@ -486,8 +548,18 @@ class FaceServer:
         Engine mode: the .fke artifact produces detections + embeddings +
         crops and the gallery match runs as a second on-device dispatch
         (the reference's engines stop at embeddings too — featureMatching
-        is app code, src/arcface.cpp:188-201). Jit mode: one fused
-        dispatch including the match."""
+        is app code, src/arcface.cpp:188-201). Identify-engine mode
+        (mesh): the complete sharded transaction incl. the match comes
+        from the artifact in ONE dispatch. Jit mode: one fused dispatch
+        including the match."""
+        if self.identify_engines is not None:
+            from facekit.pipeline.recognize import FrameResult
+            eng = self.identify_engines[frames.shape[0]]
+            boxes, scores, valid, emb, vals, idx, crops = eng(
+                self.pipeline.det_params, self.pipeline.rec_params,
+                snap.arr, snap.count, frames, gallery_scale=snap.scales)
+            return (FrameResult(boxes, scores, valid, emb, None, crops),
+                    vals, idx)
         if self.engines is not None:
             from facekit.pipeline.recognize import FrameResult
             fn = self.engines["recognize"][frames.shape[0]]
@@ -523,6 +595,16 @@ class FaceServer:
 
     def reload_gallery(self) -> int:
         names, embs = self.db.get_embeddings()
+        if self.identify_engines is not None:
+            # identify artifacts froze the gallery capacity; a reload that
+            # needs more rows must refuse HERE (the old gallery keeps
+            # serving) rather than surface as per-request dispatch errors
+            frozen = next(iter(self.identify_engines.values())).gallery_rows
+            if len(names) > frozen:
+                raise ValueError(
+                    f"gallery has {len(names)} rows but the identify "
+                    f"engines are frozen at capacity {frozen}; re-export "
+                    f"with --gallery-rows >= {len(names)}")
         # if this reload grows into a bucket whose programs were never
         # compiled (e.g. a bulk insert blew straight past the prewarm
         # threshold), compile them FIRST — the old gallery keeps serving
@@ -781,10 +863,20 @@ def make_app(server: FaceServer):
         """Image bytes -> BGR frame (or None), on the decode pool: decode
         takes ~1-2 ms and releases the GIL (both backends) — doing it
         inline in a handler would stall the event loop and serialize the
-        server under load (the device batch itself is only ~4.6 ms)."""
+        server under load (the device batch itself is only ~4.6 ms).
+
+        The pool is shared with DB commits and bulk-enrollment host work,
+        so the SERVING decode's queue wait is the contention signal —
+        tracked as /metrics "decode_wait" (r4 weak #7: a bulk
+        /insert/face could starve serving decode unobserved)."""
         loop = asyncio.get_running_loop()
-        return loop.run_in_executor(server.decode_pool, px.decode, data,
-                                    resize_wh)
+        t0 = time.perf_counter()
+
+        def work():
+            server.metrics.observe("decode_wait",
+                                   time.perf_counter() - t0)
+            return px.decode(data, resize_wh)
+        return loop.run_in_executor(server.decode_pool, work)
 
     async def recognize(request):
         data = await request.read()
@@ -1003,7 +1095,14 @@ def make_app(server: FaceServer):
     # docs/serving_loadtest_r4.json); loadtest.py records this probe next
     # to its percentiles so every published run carries the link
     # measurement that interprets it.
-    probe_state = {"seed": 0, "tiny": None}
+    # The probe INTENTIONALLY rides the serving device executor (it
+    # measures the queue real dispatches see), so it contends with the
+    # hot path — a cooldown bounds how much an unauthenticated poller can
+    # stall serving (r4 advisor finding): at most one probe per
+    # server_probeCooldownS (default 10 s), HTTP 429 otherwise.
+    probe_state = {"seed": 0, "tiny": None, "last": float("-inf")}
+    probe_cooldown = float(
+        server.config.extras.get("server_probeCooldownS", 10.0))
 
     async def probe_device(request):
         try:
@@ -1012,6 +1111,14 @@ def make_app(server: FaceServer):
             return web.Response(status=400, text="invalid mb\n")
         if not (0.125 <= mb <= 64):
             return web.Response(status=400, text="mb out of range\n")
+        now = time.monotonic()
+        if now - probe_state["last"] < probe_cooldown:
+            retry = probe_cooldown - (now - probe_state["last"])
+            return web.Response(
+                status=429, headers={"Retry-After": f"{max(retry, 1):.0f}"},
+                text=f"probe cooldown ({probe_cooldown:.0f}s): the probe "
+                     "shares the serving device executor\n")
+        probe_state["last"] = now
         n_bytes = int(mb * (1 << 20))
 
         def _run():

@@ -114,6 +114,7 @@ async def run_ws_phase(session, url: str, payloads: List[bytes],
     the server's ``server_wsPipeline`` window to actually overlap)."""
     from collections import deque
     times: List[float] = []
+    null_times: List[float] = []
     it = iter(payloads)
 
     async def worker():
@@ -133,18 +134,21 @@ async def run_ws_phase(session, url: str, payloads: List[bytes],
                 if not inflight:
                     return
                 msg = await ws.receive()
-                times.append(time.perf_counter() - inflight.popleft())
-                if msg.data == "null":
-                    nulls[0] += 1
+                dt = time.perf_counter() - inflight.popleft()
+                # "null" = no-face reply OR a queue shed (WS has no status
+                # codes); shed replies return near-instantly, so mixing
+                # them into the percentile sample would deflate it (r4
+                # advisor finding) — keep them out, like the HTTP phase's
+                # accepted-only accounting, and report them separately
+                (null_times if msg.data == "null" else times).append(dt)
 
-    nulls = [0]
     await asyncio.gather(*[worker() for _ in range(concurrency)])
     stats = _percentiles(times) if times else {"n": 0}
-    # "null" = no-face reply OR a queue shed (WS has no status codes);
-    # compare with the server's /metrics shed_count to disambiguate —
-    # shed replies return near-instantly and would otherwise silently
-    # deflate the percentiles
-    stats["null_replies"] = nulls[0]
+    # compare null_replies with the server's /metrics shed_count to
+    # disambiguate no-face nulls from shed nulls
+    stats["null_replies"] = len(null_times)
+    if null_times:
+        stats["null_p50_ms"] = _percentiles(null_times)["p50_ms"]
     return stats
 
 
@@ -246,13 +250,18 @@ async def amain(args) -> Dict:
         # percentiles so the run is interpretable on its own
         if args.probe_mb > 0:
             link: Optional[List[Dict]] = []
-            for _ in range(3):
+            attempts = 0
+            while link is not None and len(link) < 3 and attempts < 8:
+                attempts += 1
                 async with session.get(
                         url + f"/probe/device?mb={args.probe_mb}") as r:
-                    if r.status != 200:   # server predates the endpoint
+                    if r.status == 429:   # probe cooldown: honor and retry
+                        wait = float(r.headers.get("Retry-After", "10"))
+                        await asyncio.sleep(min(wait, 30.0))
+                    elif r.status != 200:  # server predates the endpoint
                         link = None
-                        break
-                    link.append(json.loads(await r.text()))
+                    else:
+                        link.append(json.loads(await r.text()))
             if link:
                 ups = [p["upload_MBps"] for p in link]
                 rtts = [p["dispatch_ms"] for p in link]

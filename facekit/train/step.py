@@ -94,7 +94,8 @@ def train_shardings(state: TrainState, mesh: Mesh,
 
 def make_train_step(network: str = "ir_50", lr: float = 0.1,
                     margin: float = 0.5, scale: float = 64.0,
-                    remat: bool = False, margins=None, **opt_kwargs):
+                    remat: bool = False, margins=None,
+                    compute_dtype=jnp.float32, **opt_kwargs):
     """``remat=True`` rematerializes the backbone forward in the backward
     pass (jax.checkpoint), trading ~1.3x FLOPs for activation memory —
     needed for large batches of IR-101/152 on one chip.
@@ -104,6 +105,12 @@ def make_train_step(network: str = "ir_50", lr: float = 0.1,
     combined_margin_logits); default None keeps the classic additive
     angular margin head with ``margin``.
 
+    ``compute_dtype``: backbone forward/backward precision.
+    ``jnp.bfloat16`` is the TPU-native mixed-precision recipe — params,
+    optimizer state, margin head, and loss stay float32 (master weights);
+    only the conv/matmul compute drops to bf16, which is what the MXU
+    wants. Default float32.
+
     ``opt_kwargs``: forwarded to ``make_optimizer`` (weight_decay,
     schedule="cosine", warmup_steps, total_steps) — pass the SAME values
     to ``train_state_init`` so the opt state matches the update rule.
@@ -111,12 +118,13 @@ def make_train_step(network: str = "ir_50", lr: float = 0.1,
     tx = make_optimizer(lr, **opt_kwargs)
 
     backbone = functools.partial(arcface_apply, network=network,
-                                 dtype=jnp.float32)
+                                 dtype=compute_dtype)
     if remat:
         backbone = jax.checkpoint(backbone, static_argnums=())
 
     def loss_fn(params, head, images, labels):
-        emb = backbone(params, images)
+        # the margin head's trig is precision-sensitive: always f32
+        emb = backbone(params, images).astype(jnp.float32)
         if margins is not None:
             m1, m2, m3 = margins
             logits = combined_margin_logits(head, emb, labels, m1, m2, m3,

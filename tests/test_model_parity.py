@@ -128,9 +128,15 @@ def test_retinaface_trim_parity(reference_dir, rng):
 @pytest.mark.parametrize("ctor,network", [
     ("IR_SE_50", "ir_se_50"),
     ("IR_101", "ir_101"),
+    ("IR_152", "ir_152"),
+    ("IR_SE_101", "ir_se_101"),
+    ("IR_SE_152", "ir_se_152"),
 ])
 def test_arcface_variant_parity(reference_dir, rng, ctor, network):
-    """SE and deeper variants of the reference family (model_irse.py:193-238)."""
+    """SE and deeper variants of the reference family (model_irse.py:193-238).
+
+    Covers the FULL family the config accepts (r4 weak #5: 152/SE-101/
+    SE-152 were constructible but unverified)."""
     mod = oracles.load_arcface_oracle()
     torch.manual_seed(7)
     model = getattr(mod, ctor)([112, 112]).eval()

@@ -244,12 +244,26 @@ async def test_probe_device_endpoint(face_server):
         assert body["upload_MBps"] > 0
         assert body["dispatch_ms"] > 0
         assert body["platform"] == "cpu"
-        # second call exercises the warmed-dispatch path
+        # the probe shares the serving device executor, so an immediate
+        # second probe hits the cooldown (r4 advisor finding: an
+        # unauthenticated poller must not be able to stall the hot path)
         r2 = await client.get("/probe/device?mb=0.5")
-        assert json.loads(await r2.text())["dispatch_ms"] > 0
+        assert r2.status == 429
+        assert "Retry-After" in r2.headers
         for bad in ("mb=nope", "mb=0", "mb=1000"):
             r = await client.get(f"/probe/device?{bad}")
             assert r.status == 400
+    # cooldown is configurable; 0 disables (loadtest drives its own probe
+    # before the measured phases)
+    face_server.config.extras["server_probeCooldownS"] = 0
+    try:
+        async with make_client(face_server) as client:
+            for _ in range(2):   # second call = warmed-dispatch path
+                r = await client.get("/probe/device?mb=0.5")
+                assert r.status == 200
+                assert json.loads(await r.text())["dispatch_ms"] > 0
+    finally:
+        face_server.config.extras.pop("server_probeCooldownS", None)
 
 
 def test_visualize_overlay(rng):

@@ -198,3 +198,34 @@ def test_train_step_with_combined_margins(rng):
     assert np.isfinite(losses).all(), losses
     assert not np.array_equal(w0, np.asarray(state.head["w"]))
     assert min(losses[1:]) < losses[0], losses
+
+def test_train_step_bf16_compute(rng):
+    """compute_dtype=bf16 (the TPU mixed-precision recipe: bf16 conv
+    compute, f32 master weights/head/loss) trains: finite decreasing
+    losses, f32 param dtypes preserved, and the loss trajectory tracks
+    the f32 run to bf16 tolerance."""
+    from facekit.train import make_train_step, train_state_init
+    x = jnp.asarray(rng.normal(0, 1, size=(8, 112, 112, 3))
+                    .astype(np.float32))
+    y = jnp.arange(8, dtype=jnp.int32) % 8
+
+    losses = {}
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        state = train_state_init(jax.random.PRNGKey(0), num_classes=8,
+                                 network="ir_tiny", lr=0.01)
+        step = make_train_step(network="ir_tiny", lr=0.01,
+                               compute_dtype=dt)
+        ls = []
+        for _ in range(4):
+            state, loss = step(state, x, y)
+            ls.append(float(loss))
+        losses[name] = ls
+        # master weights stay f32 regardless of compute dtype
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    assert np.isfinite(losses["bf16"]).all(), losses
+    assert losses["bf16"][-1] < losses["bf16"][0], losses
+    # early steps track f32 tightly; later steps drift as rounding
+    # compounds through the optimizer (expected for mixed precision)
+    np.testing.assert_allclose(losses["bf16"][:2], losses["f32"][:2],
+                               rtol=0.05, atol=0.05)
