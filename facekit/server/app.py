@@ -354,6 +354,14 @@ class FaceServer:
         # thread so they overlap device compute
         self.decode_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=int(config.extras.get("server_decodeThreads", 4)))
+        # enrollment/admin host work gets its OWN pool: the bulk
+        # /insert/face loop + fsync-ing DB commits used to share
+        # decode_pool with serving decode, and a 4-way bulk enrollment
+        # saturating the 4 decode threads made serving decodes queue
+        # ~0.8 s on average (measured, docs/serving_loadtest_r5_cpu.json
+        # decode_contention) — r4 weak #7.
+        self.enroll_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=int(config.extras.get("server_enrollThreads", 2)))
         from facekit.utils import LatencyTracker
         self.metrics = LatencyTracker()
         # live-profiling hook (facekit extension; the reference has no
@@ -691,10 +699,12 @@ def make_app(server: FaceServer):
         return loop.run_in_executor(server.executor, fn, *args)
 
     def run_db(fn, *args):
-        """SQLite commits fsync — run them off the event loop, and NOT on
-        the device executor (they'd serialize with device dispatch)."""
+        """SQLite commits fsync — run them off the event loop, NOT on the
+        device executor (they'd serialize with device dispatch), and NOT
+        on the decode pool (a bulk enrollment would starve serving
+        decode — measured r5, decode_contention)."""
         loop = asyncio.get_running_loop()
-        return loop.run_in_executor(server.decode_pool, fn, *args)
+        return loop.run_in_executor(server.enroll_pool, fn, *args)
 
     # -- POST /insert/user (src/app.cpp:118-129) ------------------------------
     async def insert_user(request):

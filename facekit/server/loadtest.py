@@ -273,6 +273,23 @@ async def amain(args) -> Dict:
                     "dispatch_ms_best": min(rtts),
                     "dispatch_ms_median": float(np.median(rtts)),
                 }
+                # gate on link health (r4: a 10-30 MB/s tunnel made every
+                # dispatch transfer-bound and the protocol shape
+                # unmeasurable — that run should have refused itself)
+                min_mbps = getattr(args, "min_link_mbps", 200.0)
+                degraded = (link[0]["platform"] != "cpu"
+                            and max(ups) < min_mbps)
+                if degraded:
+                    results["link"]["degraded"] = True
+                    results["link"]["note"] = (
+                        f"accelerator link below {min_mbps} "
+                        "MB/s: percentiles measure the LINK, not the "
+                        "serving protocol")
+                    print(f"# WARNING: {results['link']['note']}",
+                          file=sys.stderr, flush=True)
+                    if getattr(args, "require_link", False):
+                        results["aborted"] = "link degraded"
+                        return results
 
         # payload pools (pre-encoded; /recognize takes crops, WS frames)
         crop_hw = tuple(args.crop_hw)
@@ -372,6 +389,14 @@ def main(argv=None):
     ap.add_argument("--ws-pipeline", type=int, default=1,
                     help="frames in flight per WS socket (>1 needs the "
                          "server's extras.server_wsPipeline window)")
+    ap.add_argument("--min-link-mbps", type=float, default=200.0,
+                    help="accelerator-link health floor: below this the "
+                         "run is annotated link.degraded=true (the "
+                         "percentiles measure the link, not the "
+                         "protocol); cpu backends are exempt")
+    ap.add_argument("--require-link", action="store_true",
+                    help="ABORT instead of annotating when the link is "
+                         "below --min-link-mbps")
     ap.add_argument("-o", "--out", default=None, help="write JSON here too")
     args = ap.parse_args(argv)
 
