@@ -28,7 +28,10 @@ import sys
 import time
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-OUT = os.path.join(REPO, "docs", "operator_smoke_r5.json")
+# OPSMOKE_OUT lets a CPU-backend fallback record (tunnel down) coexist
+# with the TPU record this script is written for
+OUT = os.environ.get(
+    "OPSMOKE_OUT", os.path.join(REPO, "docs", "operator_smoke_r5.json"))
 PORT = 18094
 REF = "/root/reference"
 
@@ -56,17 +59,25 @@ async def ws_infer(url, img_path):
         return msg.data, dt
 
 
-def main():
+def run_phase(rec, overrides=None):
+    """One full operator sequence against a fresh server.
+
+    No overrides = the SHIPPED production config: with random-init
+    weights nothing detects, so this phase records the reference-exact
+    refusal strings (no-face enrollment, WS "null"). The forced phase
+    (det_threshold_bbox 0 + one face slot — bench.py's all-valid
+    discipline) makes the single slot validate, so enrollment inserts
+    a real BLOB and the WS reply + annotated vis carry real crops —
+    the complete host+device byte path end-to-end."""
     # the reference's config detects on uncropped enrollment images
     # (api.imgIsCropped false in its app/config.json); mirror that
     cfg = json.load(open(os.path.join(REPO, "configs", "default.json")))
     cfg["api_imgIsCropped"] = False
     cfg["database_path"] = f"/tmp/opsmoke_{int(time.time())}.db"
+    cfg.update(overrides or {})
     cfg_path = "/tmp/opsmoke_cfg.json"
     json.dump(cfg, open(cfg_path, "w"))
 
-    rec = {"config": "configs/default.json + api_imgIsCropped=false",
-           "sequence": []}
     t_boot = time.perf_counter()
     srv = subprocess.Popen(
         [sys.executable, "-m", "facekit.server", "-c", cfg_path,
@@ -119,6 +130,8 @@ def main():
 
         # demo client (src/main.cpp analog): annotated vis written to disk
         vis = "/tmp/opsmoke_vis.jpg"
+        if os.path.exists(vis):
+            os.unlink(vis)
         r = subprocess.run(
             [sys.executable, "-m", "facekit.server.client",
              f"{REF}/imgs/2.jpg", "--port", str(PORT), "--out", vis],
@@ -129,18 +142,38 @@ def main():
             "vis_written": os.path.exists(vis),
             "vis_bytes": os.path.getsize(vis) if os.path.exists(vis)
             else 0})
-        rec["note"] = (
-            "random-init weights (no public checkpoint in this env): the "
-            "matched identity is arbitrary and isUnknown stays true at "
-            "the production threshold. Trained weights change ONLY the "
-            "embedding values — the full host+device byte path exercised "
-            "here is identical.")
     finally:
         srv.send_signal(signal.SIGINT)
         try:
             srv.wait(timeout=15)
         except subprocess.TimeoutExpired:
             srv.kill()
+
+
+def main():
+    rec = {"config": "configs/default.json + api_imgIsCropped=false",
+           "backend_env": os.environ.get("JAX_PLATFORMS",
+                                         "(default: axon,cpu)"),
+           "note": (
+               "random-init weights (no public checkpoint in this env): "
+               "at the SHIPPED threshold nothing detects, so that phase "
+               "records the reference-exact refusal strings; the "
+               "threshold-0 phase forces every slot valid so enrollment, "
+               "the WS crop reply, and the annotated vis all execute — "
+               "the complete host+device byte path. Trained weights "
+               "change ONLY the embedding values.")}
+
+    rec["production_threshold"] = {"sequence": []}
+    run_phase(rec["production_threshold"])
+
+    # threshold 0 alone validates ALL slots -> uncropped enrollment
+    # refuses with the reference's "more than 1 faces" string (recorded
+    # in the production phase's contract family); one slot makes the
+    # enrollment succeed and the WS reply carry a real crop
+    rec["forced_detections_threshold0"] = {"sequence": []}
+    run_phase(rec["forced_detections_threshold0"],
+              {"det_threshold_bbox": 0.0, "det_maxFacesPerScene": 1})
+
     json.dump(rec, open(OUT, "w"), indent=1)
     print(json.dumps(rec, indent=1))
     print(f"wrote {OUT}")
