@@ -502,6 +502,10 @@ def main():
     int8_embedder_ok = not tiny
     if tiny:
         em.extra["tiny_skipped_int8_embedder_sections"] = True
+    # sections are failure-isolated, so a later section must not record
+    # "calibrated" numbers if the calibration itself died (tunnel flap
+    # mid-calibration would silently mislabel dynamic-scale numbers)
+    q_state = {"calibrated": False}
 
     def s_int8_dynamic():
         _, warm = varied_batches(fb, 4)
@@ -524,6 +528,7 @@ def main():
                          ).astype(np.uint8)[:112, :112][None]
                  .repeat(16, 0) for _ in range(2)]
         pipe_q.calibrate_embedder(calib, headroom=1.25)
+        q_state["calibrated"] = True
         _, warm_c = varied_batches(fb, 5)
         pipe_q.recognize_frames(warm_c).embeddings.block_until_ready()
         dev_c = device_time_per_call(
@@ -594,7 +599,7 @@ def main():
         if dev32:
             extra["batch32_device_ms"] = dev32 * 1e3
             extra["batch32_device_slots_per_sec"] = slots * 32 / dev32
-        if int8_embedder_ok:
+        if int8_embedder_ok and q_state["calibrated"]:
             pipe_q.recognize_frames(warm32).embeddings.block_until_ready()
             dev32q = device_time_per_call(
                 lambda j: pipe_q.recognize_frames(fbs32[j]).embeddings, 5)
@@ -659,8 +664,12 @@ def main():
             extra["batch8_identify_1M_int8_device_ms"] = dev_qi * 1e3
             extra["identify_1M_int8_slots_per_sec"] = (
                 slots * len(frames) / dev_qi)
-    if int8_embedder_ok:
+    if int8_embedder_ok and q_state["calibrated"]:
         section(em, "identify-1M-int8", s_identify_int8)
+    elif int8_embedder_ok:
+        em.extra["identify_1M_int8_skipped"] = (
+            "calibration section failed; refusing to label dynamic-scale "
+            "numbers as calibrated")
 
     # reply path under DETECTIONS (VERDICT r3 weak #7 / r4 weak #4): with
     # random-init weights the production threshold yields 0 valid slots,

@@ -215,9 +215,10 @@ def export_identify_engine(pipeline, batch_size: int, gallery_rows: int,
         else (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
               else jnp.float32)
     if use_pallas is None:
-        # the fused Pallas search lowers for TPU only; a cpu-only export
-        # must take the XLA search path
-        use_pallas = (("tpu" in platforms) if platforms
+        # the fused Pallas search lowers for TPU only, so ANY non-tpu
+        # platform in the artifact (cpu-only or multi-platform tpu,cpu)
+        # must take the XLA search path (1.51 vs 1.42 ms at 1M rows)
+        use_pallas = (all(p == "tpu" for p in platforms) if platforms
                       else (mesh is not None or tpu_default_backend()))
 
     if mesh is not None:
@@ -447,34 +448,13 @@ def load_identify_engines(engines_dir: str, config, pipeline, mesh
             continue      # single-device artifacts, not mesh-server food
         eng = IdentifyEngine(path, mesh=mesh)
         meta = eng.meta
-        _check_meta(path, meta, "rec_network", cfg.rec_network)
-        _check_meta(path, meta, "compute_dtype", cfg.compute_dtype)
-        _check_meta(path, meta, "rec_quantize", quant["rec_quantize"])
-        _check_meta(path, meta, "rec_calibrated", quant["rec_calibrated"])
-        if meta.get("rec_int8_residual") is not None:
-            _check_meta(path, meta, "rec_int8_residual",
-                        quant["rec_int8_residual"])
-        _check_meta(path, meta, "frame_hw", list(cfg.frame_hw))
-        _check_meta(path, meta, "max_faces", cfg.det_maxFacesPerScene)
-        _check_meta(path, meta, "det_network", pipeline.det_network)
-        _check_meta(path, meta, "det_hw", list(cfg.det_hw))
-        _check_meta(path, meta, "det_threshold_bbox", cfg.det_threshold_bbox)
-        _check_meta(path, meta, "det_threshold_nms", cfg.det_threshold_nms)
-        _check_meta(path, meta, "det_nms_top_k", cfg.det_nmsTopK)
-        _check_meta(path, meta, "det_nms_exact", bool(cfg.det_nmsExact))
-        _check_meta(path, meta, "align", bool(pipeline.align))
-        _check_meta(path, meta, "with_landmarks",
-                    bool(pipeline.use_landmarks))
+        _check_pipeline_statics(path, meta, cfg, pipeline, quant,
+                                "identify")
         _check_meta(path, meta, "gallery_topk", cfg.gallery_topk)
         want_gal = ("int8" if cfg.gallery_dtype == "int8"
                     else ("bfloat16" if cfg.compute_dtype == "bfloat16"
                           else "float32"))
         _check_meta(path, meta, "gallery_dtype", want_gal)
-        if not eng.return_crops:
-            raise ValueError(
-                f"{path}: identify engine was exported without the crops "
-                "output (--no-crops); the server's WS /inference reply "
-                "needs the aligned crop — re-export without --no-crops")
         b = eng.batch_size
         if b in found:
             raise ValueError(f"{path}: duplicate identify engine for "
@@ -497,6 +477,38 @@ def _check_meta(path: str, meta: Dict[str, Any], field: str,
             f"{path}: engine was built with {field}={got!r} but the serving "
             f"config needs {expect!r}; re-export with `python -m "
             f"facekit.engine export` from this config")
+
+
+def _check_pipeline_statics(path: str, meta: Dict[str, Any], cfg,
+                            pipeline, quant: Dict[str, Any],
+                            kind: str) -> None:
+    """The full-pipeline frozen statics shared by recognize and identify
+    artifacts — ONE place, so a new static added here refuses drift in
+    both artifact families (they diverged silently once, r5 review)."""
+    _check_meta(path, meta, "rec_network", cfg.rec_network)
+    _check_meta(path, meta, "compute_dtype", cfg.compute_dtype)
+    _check_meta(path, meta, "rec_quantize", quant["rec_quantize"])
+    _check_meta(path, meta, "rec_calibrated", quant["rec_calibrated"])
+    if meta.get("rec_int8_residual") is not None:   # absent pre-r4
+        _check_meta(path, meta, "rec_int8_residual",
+                    quant["rec_int8_residual"])
+    _check_meta(path, meta, "frame_hw", list(cfg.frame_hw))
+    _check_meta(path, meta, "max_faces", cfg.det_maxFacesPerScene)
+    _check_meta(path, meta, "det_network", pipeline.det_network)
+    # detection statics frozen into the program (r4): a stale artifact
+    # must refuse, not silently detect at old settings
+    _check_meta(path, meta, "det_hw", list(cfg.det_hw))
+    _check_meta(path, meta, "det_threshold_bbox", cfg.det_threshold_bbox)
+    _check_meta(path, meta, "det_threshold_nms", cfg.det_threshold_nms)
+    _check_meta(path, meta, "det_nms_top_k", cfg.det_nmsTopK)
+    _check_meta(path, meta, "det_nms_exact", bool(cfg.det_nmsExact))
+    _check_meta(path, meta, "align", bool(pipeline.align))
+    _check_meta(path, meta, "with_landmarks", bool(pipeline.use_landmarks))
+    if not meta.get("return_crops"):
+        raise ValueError(
+            f"{path}: {kind} engine was exported without the crops "
+            "output (--no-crops); the server's WS /inference reply "
+            "needs the aligned crop — re-export without --no-crops")
 
 
 def load_serving_engines(engines_dir: str, config,
@@ -539,36 +551,18 @@ def load_serving_engines(engines_dir: str, config,
                 f"{path}: engine was exported for platforms {plats} but "
                 f"this server runs on {backend!r}; re-export with "
                 f"--platforms {backend} (or tpu,cpu)")
-        _check_meta(path, meta, "rec_network", cfg.rec_network)
-        _check_meta(path, meta, "compute_dtype", cfg.compute_dtype)
-        _check_meta(path, meta, "rec_quantize", quant["rec_quantize"])
-        _check_meta(path, meta, "rec_calibrated", quant["rec_calibrated"])
-        if meta.get("rec_int8_residual") is not None:   # absent pre-r4
-            _check_meta(path, meta, "rec_int8_residual",
-                        quant["rec_int8_residual"])
         if program == "recognize":
-            _check_meta(path, meta, "frame_hw", list(cfg.frame_hw))
-            _check_meta(path, meta, "max_faces", cfg.det_maxFacesPerScene)
-            _check_meta(path, meta, "det_network", pipeline.det_network)
-            # detection statics frozen into the program (r4): a stale
-            # artifact must refuse, not silently detect at old settings
-            _check_meta(path, meta, "det_hw", list(cfg.det_hw))
-            _check_meta(path, meta, "det_threshold_bbox",
-                        cfg.det_threshold_bbox)
-            _check_meta(path, meta, "det_threshold_nms",
-                        cfg.det_threshold_nms)
-            _check_meta(path, meta, "det_nms_top_k", cfg.det_nmsTopK)
-            _check_meta(path, meta, "det_nms_exact", bool(cfg.det_nmsExact))
-            _check_meta(path, meta, "align", bool(pipeline.align))
-            _check_meta(path, meta, "with_landmarks",
-                        bool(pipeline.use_landmarks))
-            if not meta.get("return_crops"):
-                raise ValueError(
-                    f"{path}: recognize engine was exported without the "
-                    "crops output (--no-crops); the server's WS /inference "
-                    "reply needs the aligned crop — re-export without "
-                    "--no-crops")
+            _check_pipeline_statics(path, meta, cfg, pipeline, quant,
+                                    "recognize")
         else:
+            _check_meta(path, meta, "rec_network", cfg.rec_network)
+            _check_meta(path, meta, "compute_dtype", cfg.compute_dtype)
+            _check_meta(path, meta, "rec_quantize", quant["rec_quantize"])
+            _check_meta(path, meta, "rec_calibrated",
+                        quant["rec_calibrated"])
+            if meta.get("rec_int8_residual") is not None:  # absent pre-r4
+                _check_meta(path, meta, "rec_int8_residual",
+                            quant["rec_int8_residual"])
             _check_meta(path, meta, "rec_hw", list(cfg.rec_hw))
         b = int(meta["batch_size"])
         if b in found[program]:
@@ -581,6 +575,18 @@ def load_serving_engines(engines_dir: str, config,
 
 def main(argv=None) -> None:
     import argparse
+
+    # honor JAX_PLATFORMS from the environment (same fix as the server
+    # CLI): some hosts force-register an accelerator plugin in
+    # sitecustomize and override the env var programmatically — an
+    # export for `--platforms cpu` must not hang initializing a dead
+    # accelerator tunnel it never needs
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
 
     from facekit.config import load_config
     from facekit.models import init_model_params
@@ -669,7 +675,7 @@ def main(argv=None) -> None:
             # along by default — the WS reply needs them.
             sfx = "" if len(batches) == 1 else f".b{b}"
             blob, meta = export_identify_engine(
-                pipe, b, args.gallery_rows, mesh=mesh,
+                pipe, b, args.gallery_rows, mesh=mesh, platforms=plats,
                 return_crops=not args.no_crops)
             save_engine(os.path.join(args.out_dir, f"identify{sfx}.fke"),
                         blob, meta)

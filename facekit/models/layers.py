@@ -63,13 +63,17 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0,
            dilation: int = 1) -> jnp.ndarray:
     """NHWC conv with HWIO weights, torch-compatible symmetric padding.
 
-    bf16 inputs produce a bf16-output conv WITHOUT
+    Un-biased bf16 convs (the trained backbones) drop
     ``preferred_element_type``: the TPU MXU accumulates in f32 either
     way, so the single final rounding to bf16 is identical — and jax's
     conv TRANSPOSE rejects (bf16 operands, f32 preferred), which would
     break training under bf16 compute (make_train_step compute_dtype).
-    f32 inputs keep the explicit f32 accumulation annotation."""
-    preferred = {} if x.dtype == jnp.bfloat16 else \
+    BIASED convs (detector heads — never on a training grad path) keep
+    the explicit f32 accumulation so the bias adds into the f32
+    accumulator and the result rounds to bf16 exactly ONCE; dropping it
+    there would round conv-then-bias separately, shifting head scores
+    by an ulp and breaking bit-identity with exported engines."""
+    preferred = {} if (x.dtype == jnp.bfloat16 and bias is None) else \
         {"preferred_element_type": jnp.float32}
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),

@@ -385,7 +385,7 @@ class FaceServer:
             rh, rw = config.rec_hw
             fh, fw = config.frame_hw
             self._warm_serving_programs(snap.arr, snap.count, snap.scales)
-            if self.engines is None:
+            if self.engines is None and self.identify_engines is None:
                 # /insert/face paths: cropped -> embed_cropped; uncropped
                 # -> the single-frame detect pipeline.
                 self.pipeline.embed_cropped(np.zeros((rh, rw, 3), np.uint8))
@@ -756,8 +756,9 @@ def make_app(server: FaceServer):
                         image = px.resize(image, (rw_, rh_))
                     # only the DEVICE call rides the device executor; the
                     # decode/resize above and the fsync-ing DB insert
-                    # below run on this (decode-pool) thread so a bulk
-                    # enrollment can't stall serving dispatches
+                    # below run on this (enroll-pool) thread so a bulk
+                    # enrollment can't stall serving dispatches OR
+                    # serving decode (r5 enroll_pool split)
                     emb = server.executor.submit(
                         server.pipeline.embed_cropped, image).result()
                     ret = 1
@@ -875,10 +876,12 @@ def make_app(server: FaceServer):
         inline in a handler would stall the event loop and serialize the
         server under load (the device batch itself is only ~4.6 ms).
 
-        The pool is shared with DB commits and bulk-enrollment host work,
-        so the SERVING decode's queue wait is the contention signal —
-        tracked as /metrics "decode_wait" (r4 weak #7: a bulk
-        /insert/face could starve serving decode unobserved)."""
+        DB commits and bulk-enrollment host work live on their own
+        enroll_pool (r5 fix: sharing this pool let a bulk /insert/face
+        queue serving decodes ~0.8 s — measured, decode_contention);
+        only reply-encode still shares this pool. The serving decode's
+        queue wait stays tracked as /metrics "decode_wait" so any future
+        contention is observable."""
         loop = asyncio.get_running_loop()
         t0 = time.perf_counter()
 

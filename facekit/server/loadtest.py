@@ -107,11 +107,16 @@ async def run_http_phase(session, url: str, payloads: List[bytes],
 
 
 async def run_ws_phase(session, url: str, payloads: List[bytes],
-                       concurrency: int, depth: int = 1) -> Dict[str, float]:
+                       concurrency: int, depth: int = 1,
+                       return_raw: bool = False) -> Dict[str, float]:
     """WS /inference: one socket per worker. ``depth`` = frames in flight
     per socket (1 == the reference client's request/reply protocol,
     src/webclient.cpp; >1 models a streaming camera feed and requires
-    the server's ``server_wsPipeline`` window to actually overlap)."""
+    the server's ``server_wsPipeline`` window to actually overlap).
+
+    ``return_raw`` adds the raw sample lists under ``_times_s`` /
+    ``_null_times_s`` so the caller can re-fold nulls once it knows the
+    phase's shed count (see the ladder loop)."""
     from collections import deque
     times: List[float] = []
     null_times: List[float] = []
@@ -149,6 +154,9 @@ async def run_ws_phase(session, url: str, payloads: List[bytes],
     stats["null_replies"] = len(null_times)
     if null_times:
         stats["null_p50_ms"] = _percentiles(null_times)["p50_ms"]
+    if return_raw:
+        stats["_times_s"] = times
+        stats["_null_times_s"] = null_times
     return stats
 
 
@@ -326,9 +334,34 @@ async def amain(args) -> Dict:
             shed0 = await shed_total()
             http_stats = await run_http_phase(
                 session, url, crops[off:off + n], c)
+            shed_http = await shed_total()
             ws_stats = await run_ws_phase(
                 session, url, frames[off:off + n], c,
-                depth=args.ws_pipeline)
+                depth=args.ws_pipeline, return_raw=True)
+            ws_shed = await shed_total() - shed_http
+            raw_t = ws_stats.pop("_times_s")
+            raw_n = ws_stats.pop("_null_times_s")
+            # "null" mixes near-instant SHEDS with FULL-COST no-face
+            # replies (WS has no status codes). The server's shed count
+            # disambiguates: zero sheds during the WS phase means every
+            # null paid the whole decode+dispatch, so fold them back
+            # into the latency sample (with random-init weights at the
+            # production threshold EVERY reply is a no-face null, and an
+            # all-excluded sample would report n=0); any shed keeps the
+            # exclusion (r4 advisor finding) with the ambiguity stated.
+            if raw_n and ws_shed == 0:
+                merged = _percentiles(raw_t + raw_n)
+                merged["null_replies"] = len(raw_n)
+                merged["null_p50_ms"] = ws_stats.get("null_p50_ms")
+                merged["nulls_in_sample"] = (
+                    "no sheds during WS phase: nulls are full-cost "
+                    "no-face replies, included")
+                ws_stats = merged
+            elif raw_n:
+                ws_stats["nulls_excluded"] = (
+                    "server shed during WS phase: nulls mix sheds with "
+                    "no-face replies, percentiles are accepted-only")
+            ws_stats["ws_shed_delta"] = ws_shed
             phase = {"concurrency": c, "http_recognize": http_stats,
                      "ws_inference": ws_stats,
                      "server_shed_delta": await shed_total() - shed0}
