@@ -133,7 +133,8 @@ def iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
 
 
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
-        top_k: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        top_k: int = 128
+        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS as a fixed-iteration masked loop.
 
     Semantics match the reference's erase-based O(n^2) loop
@@ -142,8 +143,9 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     IoU >= threshold. Candidates with score == -inf are padding.
 
     Returns (boxes, scores, keep_mask, candidate_idx), each of length
-    ``top_k`` in descending score order; ``candidate_idx`` maps each slot
-    back to its index in the input arrays (the anchor id).
+    ``min(top_k, len(scores))`` in descending score order;
+    ``candidate_idx`` maps each slot back to its index in the input
+    arrays (the anchor id).
     """
     k = min(top_k, scores.shape[0])
     top_scores, idx = jax.lax.top_k(scores, k)

@@ -94,14 +94,22 @@ def cosine_topk_int8(gallery_q: jnp.ndarray, gallery_scale: jnp.ndarray,
     return jax.lax.top_k(sims, k)
 
 
+_BIG_IDX = 2 ** 30     # sentinel: "slot already extracted / empty"
+
+
 def _topk_rows(vals: jnp.ndarray, idx: jnp.ndarray, k: int):
     """Per-row top-k of (B, T) vals/idx using k max-extract steps.
 
     Pure VPU ops (no gather/sort), so it lowers cleanly inside Pallas.
+    Extracted slots get idx=_BIG_IDX as well as val=NEG_INF: when k
+    exceeds the number of live entries, the min-index tie-break over the
+    NEG_INF remainder would otherwise re-emit an already-picked index
+    instead of walking the remaining (distinct) padding positions the
+    way lax.top_k does.
     """
     out_v = []
     out_i = []
-    big = jnp.int32(2 ** 30)
+    big = jnp.int32(_BIG_IDX)
     for _ in range(k):
         m = jnp.max(vals, axis=1, keepdims=True)              # (B, 1)
         hit = vals == m                                        # (B, T)
@@ -110,33 +118,30 @@ def _topk_rows(vals: jnp.ndarray, idx: jnp.ndarray, k: int):
         picked_idx = jnp.min(jnp.where(hit, idx, big), axis=1, keepdims=True)
         out_v.append(m)
         out_i.append(picked_idx)
-        vals = jnp.where(idx == picked_idx, NEG_INF, vals)
+        picked = idx == picked_idx
+        vals = jnp.where(picked, NEG_INF, vals)
+        idx = jnp.where(picked, big, idx)
     return jnp.concatenate(out_v, 1), jnp.concatenate(out_i, 1)
 
 
-def _search_kernel_int8(count_ref, q_ref, qs_ref, g_ref, gs_ref,
-                        out_v_ref, out_i_ref, run_v, run_i, *,
-                        tile_n: int, k: int):
-    """int8 tile variant: integer MXU matmul + per-row scale application.
-
-    Same running-top-k structure as ``_search_kernel``; the (B, TILE)
-    similarity tile is reconstructed as int32 dot * query_scale[:, None]
-    * gallery_scale[None, :] — the (B, N) matrix never exists in HBM
-    (unlike the XLA int8 path, which materializes it)."""
+def _fold_tile(sims, count_ref, out_v_ref, out_i_ref, run_v, run_i, *,
+               tile_n: int, k: int):
+    """Shared running-top-k body for BOTH search kernels: mask the tile
+    past the live count, fold its per-row top-k into the (B, k) scratch,
+    and emit on the last grid step. ONE implementation so the f32/bf16
+    and int8 kernels cannot diverge (the r5 duplicate-index fix had to
+    be applied twice — exactly the failure mode this removes)."""
     pid = pl.program_id(0)
     nprog = pl.num_programs(0)
 
     @pl.when(pid == 0)
     def _init():
+        # idx init is the extracted-slot sentinel, NOT 0: a real index 0
+        # here would shadow the smallest padding position when k exceeds
+        # the live row count (see _topk_rows)
         run_v[:] = jnp.full_like(run_v, NEG_INF)
-        run_i[:] = jnp.zeros_like(run_i)
+        run_i[:] = jnp.full_like(run_i, _BIG_IDX)
 
-    acc = jax.lax.dot_general(
-        q_ref[:], g_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    sims = acc * qs_ref[:] * gs_ref[:]          # (B,1) and (1,TILE) scales
     base = pid * tile_n
     col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
     sims = jnp.where(col < count_ref[0], sims, NEG_INF)
@@ -152,6 +157,25 @@ def _search_kernel_int8(count_ref, q_ref, qs_ref, g_ref, gs_ref,
     def _emit():
         out_v_ref[:] = run_v[:]
         out_i_ref[:] = run_i[:]
+
+
+def _search_kernel_int8(count_ref, q_ref, qs_ref, g_ref, gs_ref,
+                        out_v_ref, out_i_ref, run_v, run_i, *,
+                        tile_n: int, k: int):
+    """int8 tile variant: integer MXU matmul + per-row scale application.
+
+    The (B, TILE) similarity tile is reconstructed as int32 dot *
+    query_scale[:, None] * gallery_scale[None, :] — the (B, N) matrix
+    never exists in HBM (unlike the XLA int8 path, which materializes
+    it). Masking/fold/emit live in ``_fold_tile``."""
+    acc = jax.lax.dot_general(
+        q_ref[:], g_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    sims = acc * qs_ref[:] * gs_ref[:]          # (B,1) and (1,TILE) scales
+    _fold_tile(sims, count_ref, out_v_ref, out_i_ref, run_v, run_i,
+               tile_n=tile_n, k=k)
 
 
 @functools.partial(jax.jit,
@@ -177,7 +201,12 @@ def cosine_topk_int8_pallas(gallery_q: jnp.ndarray, gallery_scale: jnp.ndarray,
         qq = jnp.pad(qq, ((0, b_pad - b), (0, 0)))
         qs = jnp.pad(qs, (0, b_pad - b))
     qs2 = qs[:, None].astype(jnp.float32)       # (B, 1)
-    tile_n = min(tile_n, _round_up(n, 512))
+    # tile_n must respect TPU tiling: the (1, tile_n) scale block slices
+    # the minor dim (128-lane multiples) and the int8 gallery tile's
+    # second-minor needs 32-sublane multiples — round any custom tile_n
+    # up to 512 (their lcm x4, also the default's granularity) instead
+    # of handing Mosaic an unsliceable block
+    tile_n = _round_up(min(tile_n, _round_up(n, 512)), 512)
     n_pad = _round_up(n, tile_n)
     if n_pad != n:
         # capacity buckets are tile multiples on the serving path (see
@@ -230,35 +259,15 @@ def cosine_topk_int8_pallas(gallery_q: jnp.ndarray, gallery_scale: jnp.ndarray,
 
 def _search_kernel(count_ref, q_ref, g_ref, out_v_ref, out_i_ref,
                    run_v, run_i, *, tile_n: int, k: int):
-    pid = pl.program_id(0)
-    nprog = pl.num_programs(0)
-
-    @pl.when(pid == 0)
-    def _init():
-        run_v[:] = jnp.full_like(run_v, NEG_INF)
-        run_i[:] = jnp.zeros_like(run_i)
-
-    # (B, TILE) similarity tile on the MXU; accumulate in f32
+    # (B, TILE) similarity tile on the MXU; accumulate in f32.
+    # Masking/fold/emit live in _fold_tile (shared with the int8 kernel).
     sims = jax.lax.dot_general(
         q_ref[:], g_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    base = pid * tile_n
-    col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
-    sims = jnp.where(col < count_ref[0], sims, NEG_INF)
-
-    tile_v, tile_i = _topk_rows(sims, col, k)
-    merged_v = jnp.concatenate([run_v[:], tile_v], axis=1)
-    merged_i = jnp.concatenate([run_i[:], tile_i], axis=1)
-    new_v, new_i = _topk_rows(merged_v, merged_i, k)
-    run_v[:] = new_v
-    run_i[:] = new_i
-
-    @pl.when(pid == nprog - 1)
-    def _emit():
-        out_v_ref[:] = run_v[:]
-        out_i_ref[:] = run_i[:]
+    _fold_tile(sims, count_ref, out_v_ref, out_i_ref, run_v, run_i,
+               tile_n=tile_n, k=k)
 
 
 @functools.partial(jax.jit,
@@ -280,7 +289,10 @@ def cosine_topk_pallas(gallery: jnp.ndarray, queries: jnp.ndarray,
     b_pad = _round_up(b, sub)
     if b_pad != b:
         queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
-    tile_n = min(tile_n, _round_up(n, 256))
+    # round any custom tile_n up to the gallery tile's second-minor
+    # sublane granularity (16 for bf16; 256 also keeps the minor-dim
+    # rule safe) — Mosaic cannot slice misaligned blocks
+    tile_n = _round_up(min(tile_n, _round_up(n, 256)), 256)
     n_pad = _round_up(n, tile_n)
     if n_pad != n:
         # The gallery store pre-pads capacity to tile multiples so this is a

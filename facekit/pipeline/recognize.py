@@ -43,6 +43,20 @@ from facekit.ops.resize import crop_resize, letterbox, resize_image
 CALIBRATION_HEADROOM = 1.25
 
 
+def _own_frames(arr) -> jnp.ndarray:
+    """Device array from a possibly CALLER-OWNED host buffer.
+
+    On the CPU backend, ``jnp.asarray`` of a matching-dtype numpy array
+    can be ZERO-COPY (CLAUDE.md): the device array would alias a buffer
+    the caller may overwrite (the classic ``cv2.VideoCapture.read(buf)``
+    reuse pattern) while the async dispatch still reads it — silently
+    torn frames. Copy there; accelerator backends copy in the transfer
+    anyway, so this costs nothing on TPU."""
+    if isinstance(arr, np.ndarray) and jax.default_backend() == "cpu":
+        return jnp.array(arr)            # forced copy
+    return jnp.asarray(arr)
+
+
 def _detector_forward(det_params, x, det_network: str, dtype):
     """Dispatch on the detector family; returns (loc, conf, ldm_or_None) and
     the anchor layout for the input geometry."""
@@ -194,12 +208,7 @@ def _match_queries(gallery, gallery_scale, flat, count, *, k, use_pallas,
     quantized = gallery.dtype == jnp.int8
     if mesh is not None:
         from facekit.parallel.sharded_search import sharded_cosine_topk
-        b = flat.shape[0]
-        qaxis = None
-        if (data_axis is not None and data_axis in mesh.shape
-                and mesh.shape[data_axis] > 1
-                and b % mesh.shape[data_axis] == 0):
-            qaxis = data_axis
+        qaxis = _mesh_data_axis(mesh, data_axis, flat.shape[0])
         q = flat if quantized else flat.astype(gallery.dtype)
         return sharded_cosine_topk(
             gallery, q, count, k=k, mesh=mesh, axis=gallery_axis,
@@ -216,12 +225,27 @@ def _match_queries(gallery, gallery_scale, flat, count, *, k, use_pallas,
     return cosine_topk_xla(gallery, q, count, k=k)
 
 
+def _mesh_data_axis(mesh, data_axis, batch: int):
+    """The effective mesh data axis for a leading dim of ``batch``, or
+    None when the mesh/axis is absent, trivial, or doesn't divide it.
+
+    ONE predicate for both the frame-batch constraint and the query
+    sharding (r5 review: two hand-rolled copies of this check could
+    drift apart on an edit and silently force a GSPMD reshard between
+    the embed and match stages). The two call sites intentionally pass
+    different batches (N frames vs N*max_faces queries): queries can
+    still shard when a small frame batch cannot."""
+    if (mesh is None or data_axis is None or data_axis not in mesh.shape
+            or mesh.shape[data_axis] <= 1
+            or batch % mesh.shape[data_axis] != 0):
+        return None
+    return data_axis
+
+
 def _constrain_batch(x, mesh, data_axis):
     """Shard a leading-batch array over the mesh data axis (GSPMD then
     partitions the whole batch-parallel program across chips)."""
-    if (mesh is None or data_axis is None or data_axis not in mesh.shape
-            or mesh.shape[data_axis] <= 1
-            or x.shape[0] % mesh.shape[data_axis] != 0):
+    if _mesh_data_axis(mesh, data_axis, x.shape[0]) is None:
         return x
     from jax.sharding import NamedSharding, PartitionSpec as P
     spec = P(data_axis, *([None] * (x.ndim - 1)))
@@ -395,7 +419,7 @@ class FacePipeline:
         """Full fused pipeline on one (frameH, frameW, 3) BGR frame."""
         cfg = self.config
         return _recognize_frame(
-            self.det_params, self.rec_params, jnp.asarray(frame_bgr),
+            self.det_params, self.rec_params, _own_frames(frame_bgr),
             frame_hw=cfg.frame_hw, det_hw=cfg.det_hw, rec_hw=cfg.rec_hw,
             max_faces=cfg.det_maxFacesPerScene,
             score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
@@ -409,7 +433,7 @@ class FacePipeline:
         """Batched throughput path: (N, frameH, frameW, 3) BGR frames."""
         cfg = self.config
         return _recognize_frames(
-            self.det_params, self.rec_params, jnp.asarray(frames_bgr),
+            self.det_params, self.rec_params, _own_frames(frames_bgr),
             frame_hw=cfg.frame_hw, det_hw=cfg.det_hw, rec_hw=cfg.rec_hw,
             max_faces=cfg.det_maxFacesPerScene,
             score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
@@ -425,7 +449,7 @@ class FacePipeline:
         detection-only endpoint but the C++ API has this split)."""
         cfg = self.config
         return _detect_frames(
-            self.det_params, jnp.asarray(frames_bgr),
+            self.det_params, _own_frames(frames_bgr),
             frame_hw=cfg.frame_hw, det_hw=cfg.det_hw,
             max_faces=cfg.det_maxFacesPerScene,
             score_thr=cfg.det_threshold_bbox,
@@ -449,7 +473,7 @@ class FacePipeline:
         cfg = self.config
         return _recognize_and_match(
             self.det_params, self.rec_params, gallery_arr,
-            jnp.int32(count), jnp.asarray(frames_bgr),
+            jnp.int32(count), _own_frames(frames_bgr),
             frame_hw=cfg.frame_hw, det_hw=cfg.det_hw, rec_hw=cfg.rec_hw,
             max_faces=cfg.det_maxFacesPerScene,
             score_thr=cfg.det_threshold_bbox, iou_thr=cfg.det_threshold_nms,
@@ -469,7 +493,7 @@ class FacePipeline:
         """One dispatch: (N, rec_h, rec_w, 3) crops -> (emb, sims, idx)."""
         return _embed_and_match(
             self.rec_params, gallery_arr, jnp.int32(count),
-            jnp.asarray(imgs_bgr), rec_network=self.config.rec_network,
+            _own_frames(imgs_bgr), rec_network=self.config.rec_network,
             dtype=self.dtype, k=k, use_pallas=use_pallas,
             gallery_scale=gallery_scale, mesh=mesh,
             gallery_axis=gallery_axis, data_axis=data_axis,
@@ -491,7 +515,7 @@ class FacePipeline:
 
     def embed_cropped(self, img_bgr: np.ndarray) -> np.ndarray:
         """Embed an already-cropped face image (any size; device-resized)."""
-        emb = _embed_cropped(self.rec_params, jnp.asarray(img_bgr),
+        emb = _embed_cropped(self.rec_params, _own_frames(img_bgr),
                              rec_hw=self.config.rec_hw,
                              rec_network=self.config.rec_network,
                              dtype=self.dtype)
@@ -507,7 +531,12 @@ class FacePipeline:
         return np.asarray(emb)
 
     def warmup(self) -> None:
-        """Compile all programs up front (the reference's engine-load UX)."""
+        """Compile the SINGLE-FRAME programs up front: recognize_frame
+        (both crops variants) and embed_cropped — the direct-API
+        latency path. Batched programs (recognize_frames,
+        recognize_and_match) compile on first use at their batch shape;
+        the server warms those itself per its bucket ladder
+        (FaceServer._warm_serving_programs)."""
         fh, fw = self.config.frame_hw
         dummy = np.zeros((fh, fw, 3), np.uint8)
         self.recognize_frame(dummy, return_crops=True)

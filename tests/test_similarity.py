@@ -53,6 +53,36 @@ def test_pallas_matches_xla(data, k, count, tile):
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v), rtol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["f32", "int8"])
+def test_pallas_k_exceeds_live_rows_matches_xla(data, impl):
+    """k > live gallery rows: the running top-k must walk the distinct
+    padding positions the way lax.top_k does, not re-emit an already
+    picked index (r5 review finding — the NEG_INF tie-break used to
+    re-select the smallest extracted index)."""
+    gallery, queries = data
+    g, q = jnp.asarray(gallery), jnp.asarray(queries)
+    count, k = 2, 4
+    if impl == "f32":
+        ref_v, ref_i = cosine_topk_xla(g, q, jnp.int32(count), k=k)
+        vals, idx = cosine_topk_pallas(g, q, jnp.int32(count), k=k,
+                                       tile_n=256, interpret=True)
+    else:
+        from facekit.ops.similarity import (cosine_topk_int8,
+                                            cosine_topk_int8_pallas,
+                                            quantize_rows_int8)
+        gq, gs = quantize_rows_int8(g)
+        ref_v, ref_i = cosine_topk_int8(gq, gs, q, jnp.int32(count), k=k)
+        vals, idx = cosine_topk_int8_pallas(gq, gs, q, jnp.int32(count),
+                                            k=k, tile_n=512,
+                                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+    # every row's k indices are distinct, like lax.top_k's positions
+    for row in np.asarray(idx):
+        assert len(set(row.tolist())) == k, row
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v),
+                               rtol=1e-5)
+
+
 def test_pallas_bf16(data):
     gallery, queries = data
     g = jnp.asarray(gallery, jnp.bfloat16)
