@@ -61,6 +61,17 @@ class FaceKitConfig:
     # engines; ~1.8e-3 cosine drift — see models/arcface.py)
     rec_quantize: bool = False
 
+    # int8 post-training quantization of the DETECTOR's backbone/FPN/SSH
+    # conv weights (heads stay in the compute dtype — quantization noise
+    # belongs in features, not the score/box decision layer); dynamic
+    # per-sample activation scales, batch-invariant detections
+    # (models/retinaface.py quantize_detector_params).
+    # MEASURED NEGATIVE on v5e (r5): the 0.25-width MobileNet is
+    # HBM/fusion-bound, so int8 SLOWS it — det640 batch-8 4.61 -> 6.95 ms,
+    # fused pipeline 4.40 -> 5.38 ms (docs/experiments/det_int8_r5.json).
+    # Kept as a tested opt-in; leave False unless re-measured.
+    det_quantize: bool = False
+
     # --- batch-enrollment ("gen") mode (reference src/app.cpp:69-99) -------
     gen: bool = False
     gen_imgSource: str = "/data"

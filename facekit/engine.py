@@ -61,7 +61,9 @@ def _quant_meta(pipeline) -> Dict[str, Any]:
     calibrated = quantized and isinstance(conv, dict) and "ascale" in conv
     residual = quantized and "oscale" in pipeline.rec_params.get("input", {})
     return {"rec_quantize": quantized, "rec_calibrated": calibrated,
-            "rec_int8_residual": residual}
+            "rec_int8_residual": residual,
+            "det_quantize": bool(getattr(pipeline.config, "det_quantize",
+                                         False))}
 
 
 def export_recognize_engine(pipeline, batch_size: int,
@@ -492,6 +494,8 @@ def _check_pipeline_statics(path: str, meta: Dict[str, Any], cfg,
     if meta.get("rec_int8_residual") is not None:   # absent pre-r4
         _check_meta(path, meta, "rec_int8_residual",
                     quant["rec_int8_residual"])
+    if meta.get("det_quantize") is not None:        # absent pre-r5
+        _check_meta(path, meta, "det_quantize", quant["det_quantize"])
     _check_meta(path, meta, "frame_hw", list(cfg.frame_hw))
     _check_meta(path, meta, "max_faces", cfg.det_maxFacesPerScene)
     _check_meta(path, meta, "det_network", pipeline.det_network)

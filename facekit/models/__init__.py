@@ -7,6 +7,7 @@ from facekit.models.arcface import (  # noqa: F401
     quantize_arcface_params,
 )
 from facekit.models.retinaface import (  # noqa: F401
+    quantize_detector_params,
     retinaface_apply,
     retinaface_init,
 )

@@ -146,6 +146,30 @@ def conv2d_int8(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
     return out.astype(x.dtype)
 
 
+def conv_any(x: jnp.ndarray, w, stride: int = 1, padding: int = 0,
+             groups: int = 1, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Conv dispatch on the weight leaf: a plain HWIO array runs conv2d,
+    a ``{"q": int8, "scale": (O,)}`` dict (from quantize_conv_weight) runs
+    conv2d_int8 with dynamic per-sample activation scales unless the dict
+    carries a calibrated scalar ``ascale``.
+
+    Lets a whole model switch precision by transforming its PARAM tree
+    (quantize_*_params) without touching its apply code — the detector
+    models route every conv through here (facekit's analog of handing the
+    reference's builder an int8/fp16 flag, conversion/*/torch2trt.py).
+    """
+    if isinstance(w, dict) and "q" in w:
+        out = conv2d_int8(x, w["q"], w["scale"], stride=stride,
+                          padding=padding, groups=groups,
+                          ascale=w.get("ascale"))
+        if bias is not None:
+            out = (out.astype(jnp.float32)
+                   + bias.astype(jnp.float32)).astype(x.dtype)
+        return out
+    return conv2d(x, w, stride=stride, padding=padding, groups=groups,
+                  bias=bias)
+
+
 def batch_norm(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
                eps: float = BN_EPS) -> jnp.ndarray:
     """Inference batch-norm over the last axis (channels)."""
@@ -199,7 +223,7 @@ def conv_bn_apply(x, p, stride=1, padding=1, act: str = "relu",
                   leaky_slope: float = 0.0, groups: int = 1):
     """conv -> BN -> (relu | leaky | none), the reference's conv_bn family
     (``conversion/retina/models/net.py:9-38``)."""
-    x = conv2d(x, p["conv"], stride=stride, padding=padding, groups=groups)
+    x = conv_any(x, p["conv"], stride=stride, padding=padding, groups=groups)
     x = batch_norm(x, p["bn"])
     if act == "relu":
         x = relu(x)
@@ -217,9 +241,9 @@ def conv_dw_apply(x, p, stride):
     """Depthwise-separable block: dw3x3+BN+ReLU then pw1x1+BN+ReLU
     (``conversion/retina/models/net.py:29-38``)."""
     c = x.shape[-1]
-    x = conv2d(x, p["dw_conv"], stride=stride, padding=1, groups=c)
+    x = conv_any(x, p["dw_conv"], stride=stride, padding=1, groups=c)
     x = relu(batch_norm(x, p["dw_bn"]))
-    x = conv2d(x, p["pw_conv"], stride=1, padding=0)
+    x = conv_any(x, p["pw_conv"], stride=1, padding=0)
     x = relu(batch_norm(x, p["pw_bn"]))
     return x
 

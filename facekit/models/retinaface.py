@@ -102,6 +102,70 @@ def retinaface_init(key, with_landmarks: bool = True) -> Dict[str, Any]:
     return params
 
 
+#: conv-weight keys eligible for int8 inside detector param trees.
+#: "conv" = conv_bn units (stem/FPN/SSH/merges), "pw_conv"/"dw_conv" =
+#: the MobileNet depthwise-separable pairs (retinaface + lightdet chains).
+#: Head subtrees (class/bbox/ldm, loc/conf/landm) are EXCLUDED: their
+#: logits feed the score threshold and box decode directly, so they stay
+#: in the compute dtype — quantization noise belongs in features, not in
+#: the decision layer.
+_QUANT_KEYS = ("conv", "pw_conv")
+_QUANT_KEYS_DW = ("dw_conv",)
+_HEAD_KEYS = ("class_head", "bbox_head", "ldm_head",   # retinaface
+              "loc", "conf", "landm",                  # lightdet
+              "conv14_a", "conv14_b", "rfb8")          # lightdet extras
+
+
+def quantize_detector_params(params: Dict[str, Any],
+                             include_depthwise: bool = True) -> Dict[str, Any]:
+    """Post-training int8 weight quantization of a detector param tree.
+
+    The facekit analog of handing the reference's TensorRT builder a
+    lower-precision flag for the DETECTOR engine
+    (``conversion/retina/torch2trt.py:84-89`` builds fp16 engines): every
+    backbone/FPN/SSH conv weight leaf is replaced by
+    ``{"q": int8 HWIO, "scale": (O,) f32}`` and the apply path (via
+    ``layers.conv_any``) runs s8 x s8 -> s32 convs with dynamic per-sample
+    activation scales — batch-invariant detections, measured drift bounds
+    in tests/test_model_parity.py::test_retinaface_int8_drift.
+
+    ``include_depthwise``: also quantize the 3x3 depthwise weights. They
+    carry almost no weight bytes; the win (if any) is XLA narrowing the
+    s8 activation buffers between the dw/pw pairs.
+
+    MEASURED NEGATIVE on v5e (r5, docs/experiments/det_int8_r5.json):
+    unlike the embedder's 1.47x rec_quantize win, the 0.25-width
+    MobileNet detector is HBM/fusion-bound at every input size — int8
+    measures 0.66x at 640x640 (0.55x with depthwise) and 0.82x on the
+    fused serving pipeline. Kept as a tested opt-in precision knob
+    (parity with the reference's per-engine precision flags); the
+    detector-precision axis is closed unless new evidence reopens it.
+
+    Works on retinaface AND lightdet trees (same conv_bn/conv_dw leaf
+    keys); head subtrees and lightdet's biased conv14/RFB units keep the
+    compute dtype.
+    """
+    keys = _QUANT_KEYS + (_QUANT_KEYS_DW if include_depthwise else ())
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in _HEAD_KEYS:
+                    out[k] = v
+                elif k in keys and hasattr(v, "ndim") and v.ndim == 4:
+                    q, scale = L.quantize_conv_weight(v)
+                    out[k] = {"q": q, "scale": scale}
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
+
+
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def retinaface_apply(params: Dict[str, Any], x: jnp.ndarray,
                      dtype=jnp.float32):

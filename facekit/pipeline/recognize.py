@@ -366,6 +366,9 @@ class FacePipeline:
     def __init__(self, config: FaceKitConfig, det_params: Dict[str, Any],
                  rec_params: Dict[str, Any]):
         self.config = config
+        if getattr(config, "det_quantize", False):
+            from facekit.models.retinaface import quantize_detector_params
+            det_params = quantize_detector_params(det_params)
         self.det_params = det_params
         self._rec_params_float = None
         if getattr(config, "rec_quantize", False):

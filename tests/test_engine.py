@@ -183,3 +183,35 @@ def test_identify_mesh_engine_export(tmp_path):
     assert meta["mesh_shape"] == {"data": 2, "gallery": 4}
     assert meta["gallery_rows"] == 8192
     assert callable(call)
+
+
+def test_engine_meta_records_det_quantize(tiny_pipe, tmp_path, rng):
+    """det_quantize is a frozen static: the exported program embeds the
+    int8 detector tree's SIGNATURE, so a loader given a float-detector
+    config must refuse up front (same contract as rec_quantize, r5)."""
+    from facekit.engine import _quant_meta, _check_pipeline_statics
+
+    blob, meta = export_recognize_engine(tiny_pipe, batch_size=2,
+                                         return_crops=True)
+    assert meta["det_quantize"] is False
+
+    cfg_q = FaceKitConfig(det_network="slim", rec_network="ir_tiny",
+                          det_inputShape=(3, 64, 64),
+                          input_frameWidth=160, input_frameHeight=120,
+                          compute_dtype="float32", det_threshold_bbox=0.3,
+                          det_quantize=True)
+    det = lightdet_init(jax.random.PRNGKey(0), variant="slim")
+    rec = arcface_init(jax.random.PRNGKey(1), network="ir_tiny")
+    pipe_q = FacePipeline(cfg_q, det, rec)
+    blob_q, meta_q = export_recognize_engine(pipe_q, batch_size=2,
+                                             return_crops=True)
+    assert meta_q["det_quantize"] is True
+
+    # a float-detector server must refuse the quantized artifact loudly
+    with pytest.raises(ValueError, match="det_quantize"):
+        _check_pipeline_statics("x.fke", meta_q, tiny_pipe.config,
+                                tiny_pipe, _quant_meta(tiny_pipe),
+                                "recognize")
+    # and the quantized server must accept its own artifact's statics
+    _check_pipeline_statics("x.fke", meta_q, cfg_q, pipe_q,
+                            _quant_meta(pipe_q), "recognize")

@@ -306,3 +306,76 @@ def test_arcface_int8_residual_drift(rng):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="int8_residual"):
         quantize_arcface_params(p, int8_residual=True)
+
+
+def test_retinaface_int8_drift(rng):
+    """Post-training int8 detector quantization (``det_quantize``): conf
+    (the thresholded decision output, softmaxed) stays within 1e-3 of f32
+    and loc/ldm deltas within 20% relative — measured ~9e-6 / ~11% on
+    random weights at realistic mean-subtracted-BGR magnitudes (random
+    nets waste most of the int8 range, so this is the pessimistic probe;
+    no trained checkpoint exists in this environment). Heads are NOT
+    quantized (retinaface._HEAD_KEYS), so logits see feature noise only.
+    facekit's detector analog of the reference's lower-precision engines
+    (conversion/retina/torch2trt.py:84-89 builds fp16)."""
+    import jax
+    from facekit.models.retinaface import (retinaface_init,
+                                           quantize_detector_params)
+    p = retinaface_init(jax.random.PRNGKey(3))
+    pq = quantize_detector_params(p)
+    x = jnp.asarray(rng.uniform(-130, 130, size=(2, 160, 160, 3))
+                    .astype(np.float32))
+    loc, conf, ldm = retinaface_apply(p, x)
+    locq, confq, ldmq = retinaface_apply(pq, x)
+    assert float(jnp.max(jnp.abs(conf - confq))) < 1e-3
+    assert (float(jnp.max(jnp.abs(loc - locq)))
+            < 0.2 * float(jnp.max(jnp.abs(loc))))
+    assert (float(jnp.max(jnp.abs(ldm - ldmq)))
+            < 0.2 * float(jnp.max(jnp.abs(ldm))))
+    # heads must stay float: their leaves are untouched arrays
+    assert not isinstance(pq["class_head"][0]["w"], dict)
+    assert isinstance(pq["stage2"][0]["pw_conv"], dict)
+    # per-SAMPLE activation scales: detections are bit-invariant to
+    # batch composition (same property as the int8 embedder)
+    loc1, conf1, _ = retinaface_apply(pq, x[:1])
+    np.testing.assert_array_equal(np.asarray(loc1[0]), np.asarray(locq[0]))
+    np.testing.assert_array_equal(np.asarray(conf1[0]), np.asarray(confq[0]))
+
+
+@pytest.mark.parametrize("variant", ["slim", "rfb"])
+def test_lightdet_int8_drift(rng, variant):
+    """quantize_detector_params works on the slim/RFB trees too (same
+    conv_bn/conv_dw leaf keys; heads + biased conv14/RFB units stay
+    float). Same bounds as the retinaface case."""
+    import jax
+    from facekit.models.lightdet import lightdet_init, lightdet_apply
+    from facekit.models.retinaface import quantize_detector_params
+    p = lightdet_init(jax.random.PRNGKey(4), variant=variant)
+    pq = quantize_detector_params(p)
+    x = jnp.asarray(rng.uniform(-130, 130, size=(2, 160, 160, 3))
+                    .astype(np.float32))
+    loc, conf, ldm = lightdet_apply(p, x, variant=variant)
+    locq, confq, ldmq = lightdet_apply(pq, x, variant=variant)
+    assert float(jnp.max(jnp.abs(conf - confq))) < 1e-3
+    assert (float(jnp.max(jnp.abs(loc - locq)))
+            < 0.2 * float(jnp.max(jnp.abs(loc))))
+    assert isinstance(pq["dw"][0]["pw_conv"], dict)
+    assert not isinstance(pq["conf"][3]["w"], dict)        # head untouched
+    assert not isinstance(pq["conv14_a"]["w"], dict)       # biased unit
+
+
+def test_conv_any_int8_bias_branch(rng):
+    """conv_any's quantized-dict dispatch with a bias (used if a biased
+    detector unit is ever quantized): matches the float conv within int8
+    tolerance and adds the bias exactly once."""
+    import jax
+    from facekit.models import layers as L
+    w = L.kaiming_uniform_conv(jax.random.PRNGKey(5), (8, 4, 3, 3))
+    b = jnp.asarray(rng.normal(0, 0.5, size=(8,)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-10, 10, size=(2, 16, 16, 4))
+                    .astype(np.float32))
+    ref = L.conv_any(x, w, padding=1, bias=b)
+    q, s = L.quantize_conv_weight(w)
+    out = L.conv_any(x, {"q": q, "scale": s}, padding=1, bias=b)
+    err = float(jnp.max(jnp.abs(ref - out)))
+    assert err < 0.05 * float(jnp.max(jnp.abs(ref))), err

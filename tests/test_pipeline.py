@@ -111,3 +111,29 @@ def test_detect_frames_matches_recognize_frames(pipeline, rng):
     assert det.landmarks is not None
     np.testing.assert_allclose(np.asarray(det.landmarks),
                                np.asarray(res.landmarks), atol=1e-3)
+
+
+def test_det_quantize_pipeline(rng):
+    """``det_quantize: true`` quantizes the detector's backbone convs at
+    pipeline construction (heads stay float) and the full fused program
+    serves through the int8 detector; detections stay deterministic and
+    use_landmarks survives the param-tree transform. Drift bounds live at
+    the model level (test_model_parity.test_retinaface_int8_drift)."""
+    cfg = FaceKitConfig(input_frameWidth=320, input_frameHeight=240,
+                        det_inputShape=(3, 192, 192),
+                        compute_dtype="float32", det_quantize=True)
+    det = retinaface_init(jax.random.PRNGKey(0), with_landmarks=True)
+    rec = arcface_init(jax.random.PRNGKey(1))
+    pipe = FacePipeline(cfg, det, rec)
+    assert pipe.use_landmarks
+    assert isinstance(pipe.det_params["stage2"][0]["pw_conv"], dict)
+    assert pipe.det_params["stage2"][0]["pw_conv"]["q"].dtype == np.int8
+    frame = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
+    r1 = pipe.recognize_frame(frame)
+    r2 = pipe.recognize_frame(frame)
+    assert r1.embeddings.shape == (4, 512)
+    np.testing.assert_array_equal(np.asarray(r1.boxes), np.asarray(r2.boxes))
+    # detect-only program runs the same quantized tree
+    d = pipe.detect_frames(frame[None])
+    np.testing.assert_allclose(np.asarray(d.boxes)[0],
+                               np.asarray(r1.boxes), atol=1e-3)
